@@ -1,0 +1,91 @@
+"""Fixed-shape read batches for device upload.
+
+The reference streams reads through unix pipes into aligner processes
+(species.py:29-49, genes.py:116-145). On TPU everything under jit is
+compiled for static shapes, so reads are packed into rectangular
+batches: codes [B, L] int8 padded with the sentinel code 4, plus
+per-read lengths, per-base phred qualities, and per-read mean quality
+(used by the reference's `readq` filter, midas/run/genes.py:160).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from midas_tpu.io.seqio import PAD_CODE, encode_seq, qual_to_phred, stream_reads
+
+
+@dataclasses.dataclass
+class ReadBatch:
+    """One rectangular batch of reads (host numpy; upload via jnp.asarray)."""
+
+    names: List[str]          # len B' (actual reads, B' <= B)
+    codes: np.ndarray         # [B, L] int8, pad rows/tails = 4
+    lengths: np.ndarray       # [B] int32, 0 for pad rows
+    quals: np.ndarray         # [B, L] int8 phred, 0 on padding
+    mean_qual: np.ndarray     # [B] float32, mean phred over the read
+    n_reads: int              # B' = number of real reads in this batch
+
+    @property
+    def batch_size(self) -> int:
+        return self.codes.shape[0]
+
+    @property
+    def read_len(self) -> int:
+        return self.codes.shape[1]
+
+
+def batch_reads(
+    reads: Sequence[Tuple[str, str, Optional[str]]],
+    batch_size: int,
+    max_len: int = 128,
+) -> ReadBatch:
+    """Pack (name, seq, qual) tuples into one fixed-shape ReadBatch.
+
+    Reads longer than max_len are truncated (callers pick max_len as the
+    padded read length for the run); shorter reads are sentinel-padded.
+    """
+    B, L = batch_size, max_len
+    codes = np.full((B, L), PAD_CODE, dtype=np.int8)
+    quals = np.zeros((B, L), dtype=np.int8)
+    lengths = np.zeros(B, dtype=np.int32)
+    mean_qual = np.zeros(B, dtype=np.float32)
+    names: List[str] = []
+    for i, (name, seq, qual) in enumerate(reads):
+        n = min(len(seq), L)
+        codes[i, :n] = encode_seq(seq[:n])
+        q = qual_to_phred(qual[:n] if qual is not None else None, n)
+        quals[i, :n] = q
+        lengths[i] = n
+        # Reference readq filter uses np.mean over the *aligned read's*
+        # qualities (genes.py:160); we use the full-read mean, identical
+        # for untrimmed alignments of these end-to-end batches.
+        mean_qual[i] = float(q.astype(np.float64).mean()) if n else 0.0
+        names.append(name)
+    return ReadBatch(names, codes, lengths, quals, mean_qual, len(names))
+
+
+def load_read_batches(
+    paths,
+    batch_size: int = 1024,
+    max_len: int = 128,
+    read_length: Optional[int] = None,
+    max_reads: Optional[int] = None,
+) -> Iterator[ReadBatch]:
+    """Stream FASTA/FASTQ file(s) into fixed-shape batches.
+
+    Applies the reference trim/cap semantics (stream_seqs.py:43-65) via
+    stream_reads, then rectangularizes. The final batch is zero-padded
+    to the same static shape so jit traces once.
+    """
+    buf: List[Tuple[str, str, Optional[str]]] = []
+    for rec in stream_reads(paths, read_length=read_length, max_reads=max_reads):
+        buf.append(rec)
+        if len(buf) == batch_size:
+            yield batch_reads(buf, batch_size, max_len)
+            buf = []
+    if buf:
+        yield batch_reads(buf, batch_size, max_len)

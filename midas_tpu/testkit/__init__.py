@@ -1,0 +1,1 @@
+from midas_tpu.testkit.simulate import SimulatedCommunity, simulate_db, simulate_reads
