@@ -1,0 +1,220 @@
+"""NumPy gold-standard aligner: full (unbanded) affine-gap DP with
+traceback. Slow, exact, and the semantic contract every TPU kernel is
+tested against. Replaces the role the reference's black-box binaries
+played as "source of truth" (bowtie2 / hs-blastn, SURVEY.md §2.2) with
+an explicit, testable specification.
+
+Conventions shared with the device kernels:
+- base codes 0-3 = ACGT; code 4 is a sentinel that never matches
+  (scores as a mismatch).
+- modes: 'local' = Smith-Waterman (free query + ref ends);
+  'glocal' = whole query aligned, free ref ends (bowtie2 end-to-end
+  analogue for reads inside a long reference).
+- tie-break priority in the DP and traceback: diagonal > deletion
+  (ref-consuming gap) > insertion (query-consuming gap); among equal
+  end cells: smallest query end, then smallest ref end.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from midas_tpu.align.params import ScoringParams
+
+NEG = -10**9
+
+
+@dataclasses.dataclass
+class OracleAlignment:
+    score: float
+    qstart: int       # 0-based, half-open span of aligned query
+    qend: int
+    tstart: int       # 0-based, half-open span of aligned target
+    tend: int
+    matches: int
+    mismatches: int
+    gap_opens: int
+    gap_cols: int     # total gap columns (insertions + deletions)
+    col_qpos: np.ndarray  # per-column query pos or -1 (deletion)
+    col_tpos: np.ndarray  # per-column target pos or -1 (insertion)
+
+    @property
+    def aln_cols(self) -> int:
+        return self.matches + self.mismatches + self.gap_cols
+
+    @property
+    def nm(self) -> int:
+        """Edit distance over the aligned span (SAM NM analogue)."""
+        return self.mismatches + self.gap_cols
+
+    @property
+    def blast_pid(self) -> float:
+        """%identity as BLAST m8 reports it: matches / alignment columns."""
+        return 100.0 * self.matches / max(self.aln_cols, 1)
+
+    @property
+    def aligned_qlen(self) -> int:
+        """len(query_alignment_sequence) analogue (genes.py:154)."""
+        return self.qend - self.qstart
+
+    @property
+    def bowtie_pid(self) -> float:
+        """100*(align_len-NM)/align_len with align_len = aligned query
+        length, exactly as keep_read computes it (genes.py:157)."""
+        alen = max(self.aligned_qlen, 1)
+        return 100.0 * (alen - self.nm) / alen
+
+    def qpos_to_tpos(self, qlen: int) -> np.ndarray:
+        """[qlen] target position per query base, -1 where soft-clipped
+        or inserted — the pileup contract (snps.py:186-199 analogue)."""
+        out = np.full(qlen, -1, dtype=np.int64)
+        for qp, tp in zip(self.col_qpos, self.col_tpos):
+            if qp >= 0 and tp >= 0:
+                out[qp] = tp
+        return out
+
+
+def align_oracle(
+    query: np.ndarray,
+    target: np.ndarray,
+    params: ScoringParams,
+) -> Optional[OracleAlignment]:
+    """Full DP alignment of query vs target codes. Returns None when no
+    positive-score local alignment exists (local mode only)."""
+    q = np.asarray(query, dtype=np.int64)
+    t = np.asarray(target, dtype=np.int64)
+    n, m = len(q), len(t)
+    local = params.mode == "local"
+    ma, mi = params.match, params.mismatch
+    go, ge = params.gap_open, params.gap_extend
+
+    H = np.full((n + 1, m + 1), NEG, dtype=np.int64)
+    E = np.full((n + 1, m + 1), NEG, dtype=np.int64)  # del: consumes target
+    F = np.full((n + 1, m + 1), NEG, dtype=np.int64)  # ins: consumes query
+    # direction codes: 0 diag, 1 del(E), 2 ins(F), 3 origin/stop
+    Hdir = np.full((n + 1, m + 1), 3, dtype=np.int8)
+    Edir = np.zeros((n + 1, m + 1), dtype=np.int8)  # 1 if extending E else opened from H
+    Fdir = np.zeros((n + 1, m + 1), dtype=np.int8)
+
+    H[0, :] = 0  # free ref prefix in both modes
+    if not local:
+        # query prefix consumed by insertion (rare; penalized)
+        for i in range(1, n + 1):
+            F[i, 0] = -(go + i * ge)
+            H[i, 0] = F[i, 0]
+            Hdir[i, 0] = 2
+            Fdir[i, 0] = 1
+    else:
+        H[:, 0] = 0
+
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            sub = ma if (q[i - 1] == t[j - 1] and q[i - 1] < 4 and t[j - 1] < 4) else mi
+            diag = H[i - 1, j - 1] + sub
+            # E: gap consuming target (deletion), from the left
+            e_ext = E[i, j - 1] - ge
+            e_open = H[i, j - 1] - go - ge
+            if e_ext >= e_open:
+                E[i, j], Edir[i, j] = e_ext, 1
+            else:
+                E[i, j], Edir[i, j] = e_open, 0
+            # F: gap consuming query (insertion), from above
+            f_ext = F[i - 1, j] - ge
+            f_open = H[i - 1, j] - go - ge
+            if f_ext >= f_open:
+                F[i, j], Fdir[i, j] = f_ext, 1
+            else:
+                F[i, j], Fdir[i, j] = f_open, 0
+            # H: priority diag > del > ins
+            best, d = diag, 0
+            if E[i, j] > best:
+                best, d = E[i, j], 1
+            if F[i, j] > best:
+                best, d = F[i, j], 2
+            if local and best <= 0:
+                best, d = 0, 3
+            H[i, j], Hdir[i, j] = best, d
+
+    # find end cell
+    if local:
+        score = int(H.max())
+        if score <= 0:
+            return None
+        ends = np.argwhere(H == score)
+        ei, ej = ends[0]  # smallest i then j
+    else:
+        score = int(H[n, :].max())
+        ej = int(np.argmin(np.where(H[n, :] == score, np.arange(m + 1), m + 2)))
+        ei = n
+
+    # traceback
+    cols_q, cols_t = [], []
+    i, j = int(ei), int(ej)
+    state = "H"
+    while i > 0 or j > 0:
+        if state == "H":
+            d = Hdir[i, j]
+            if d == 3:
+                break
+            if d == 0:
+                cols_q.append(i - 1)
+                cols_t.append(j - 1)
+                i, j = i - 1, j - 1
+                if local and H[i, j] == 0 and Hdir[i, j] == 3:
+                    break
+            elif d == 1:
+                state = "E"
+            else:
+                state = "F"
+        elif state == "E":
+            cols_q.append(-1)
+            cols_t.append(j - 1)
+            prev = Edir[i, j]
+            j -= 1
+            state = "E" if prev == 1 else "H"
+        else:  # F
+            cols_q.append(i - 1)
+            cols_t.append(-1)
+            prev = Fdir[i, j]
+            i -= 1
+            state = "F" if prev == 1 else "H"
+        if not local and i == 0:
+            break
+    cols_q.reverse()
+    cols_t.reverse()
+    col_qpos = np.asarray(cols_q, dtype=np.int64)
+    col_tpos = np.asarray(cols_t, dtype=np.int64)
+
+    matches = mismatches = gap_cols = gap_opens = 0
+    in_gap = False
+    for qp, tp in zip(col_qpos, col_tpos):
+        if qp < 0 or tp < 0:
+            gap_cols += 1
+            if not in_gap:
+                gap_opens += 1
+                in_gap = True
+        else:
+            in_gap = False
+            if q[qp] == t[tp] and q[qp] < 4:
+                matches += 1
+            else:
+                mismatches += 1
+
+    qcols = col_qpos[col_qpos >= 0]
+    tcols = col_tpos[col_tpos >= 0]
+    return OracleAlignment(
+        score=float(score),
+        qstart=int(qcols.min()) if len(qcols) else 0,
+        qend=int(qcols.max()) + 1 if len(qcols) else 0,
+        tstart=int(tcols.min()) if len(tcols) else 0,
+        tend=int(tcols.max()) + 1 if len(tcols) else 0,
+        matches=matches,
+        mismatches=mismatches,
+        gap_opens=gap_opens,
+        gap_cols=gap_cols,
+        col_qpos=col_qpos,
+        col_tpos=col_tpos,
+    )

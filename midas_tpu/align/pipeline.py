@@ -1,0 +1,179 @@
+"""Full seed-and-extend aligner over a packed reference.
+
+Composes db/index.py (hashed seed tables) + align/seed.py (seed-and-
+vote candidates) + align/banded.py (banded affine DP with stat
+propagation) into the device-resident equivalent of one bowtie2 /
+hs-blastn invocation (reference call sites: midas/run/species.py:29-49,
+genes.py:116-145, snps.py:97-128). Alignments never leave the device
+as text: downstream profilers consume the [B, C] result arrays
+directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from midas_tpu.align.banded import banded_align
+from midas_tpu.align.params import ScoringParams
+from midas_tpu.align.seed import SeedParams, find_candidates, gather_windows, revcomp_batch
+from midas_tpu.db.index import SeedIndex
+from midas_tpu.db.refpack import ReferencePack
+from midas_tpu.io.batch import ReadBatch
+
+
+@dataclasses.dataclass
+class AlignmentResult:
+    """Host-side view of one aligned batch. All arrays [B, C] unless
+    noted; coordinates are local to the hit sequence (0-based,
+    half-open), query coordinates are in the aligned strand's frame."""
+
+    names: list                 # [B'] read names
+    n_reads: int
+    valid: np.ndarray           # bool: candidate produced an alignment
+    score: np.ndarray           # raw DP score
+    seq_idx: np.ndarray         # target sequence index into pack.names
+    strand: np.ndarray          # 0 fwd, 1 rc
+    tstart: np.ndarray
+    tend: np.ndarray
+    qstart: np.ndarray
+    qend: np.ndarray
+    matches: np.ndarray
+    mismatches: np.ndarray
+    gap_cols: np.ndarray
+    gap_opens: np.ndarray
+
+    @property
+    def aln_cols(self) -> np.ndarray:
+        return self.matches + self.mismatches + self.gap_cols
+
+    @property
+    def nm(self) -> np.ndarray:
+        return self.mismatches + self.gap_cols
+
+    @property
+    def blast_pid(self) -> np.ndarray:
+        return 100.0 * self.matches / np.maximum(self.aln_cols, 1)
+
+    @property
+    def aligned_qlen(self) -> np.ndarray:
+        return self.qend - self.qstart
+
+    @property
+    def bowtie_pid(self) -> np.ndarray:
+        alen = np.maximum(self.aligned_qlen, 1)
+        return 100.0 * (alen - self.nm) / alen
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scoring", "seed_params", "max_len"),
+)
+def _align_batch_device(
+    index_arrays: Dict[str, jnp.ndarray],
+    pack_codes: jnp.ndarray,
+    pack_offsets: jnp.ndarray,
+    codes: jnp.ndarray,
+    qlens: jnp.ndarray,
+    scoring: ScoringParams,
+    seed_params: SeedParams,
+    max_len: int,
+) -> Dict[str, jnp.ndarray]:
+    B, L = codes.shape
+    C = seed_params.num_cands
+    D = seed_params.band_width
+    W = L + D - 1
+
+    cands = find_candidates(index_arrays, codes, qlens, seed_params, max_len)
+    winstart = cands["diag"] - D // 2
+    ref_win, seq_idx = gather_windows(pack_codes, pack_offsets, winstart, W)
+
+    rc = revcomp_batch(codes, qlens)
+    # per-candidate query strand selection -> [B, C, L] -> [B*C, L]
+    strand = cands["strand"][:, :, None]  # [B, C, 1]
+    q_pair = jnp.where(strand == 1, rc[:, None, :], codes[:, None, :])
+    q_pair = jnp.broadcast_to(q_pair, (B, C, L)).reshape(B * C, L)
+    qlens_pair = jnp.broadcast_to(qlens[:, None], (B, C)).reshape(B * C)
+    win_pair = ref_win.reshape(B * C, W)
+
+    out = banded_align(q_pair, qlens_pair, win_pair, scoring, band_width=D)
+    out = {k: v.reshape(B, C) for k, v in out.items()}
+
+    seq_lo = pack_offsets[seq_idx].astype(jnp.int32)
+    tstart = winstart + out["wstart"] - seq_lo
+    tend = winstart + out["wend"] - seq_lo
+
+    valid = cands["valid"]
+    # drop duplicate alignments: same (seq, strand, tstart) found via two
+    # nearby candidate diagonals — keep the first (candidates are emitted
+    # in decreasing vote order)
+    dup = jnp.zeros_like(valid)
+    for c in range(1, C):
+        same = (
+            (seq_idx[:, c: c + 1] == seq_idx[:, :c])
+            & (cands["strand"][:, c: c + 1] == cands["strand"][:, :c])
+            & (tstart[:, c: c + 1] == tstart[:, :c])
+        )  # [B, c]
+        dup = dup.at[:, c].set(jnp.any(same & valid[:, :c], axis=1))
+    valid = valid & ~dup
+
+    return dict(
+        valid=valid,
+        score=out["score"],
+        seq_idx=seq_idx,
+        strand=cands["strand"],
+        tstart=tstart,
+        tend=tend,
+        qstart=out["qstart"],
+        qend=out["qend"],
+        matches=out["matches"],
+        mismatches=out["mismatches"],
+        gap_cols=out["gap_cols"],
+        gap_opens=out["gap_opens"],
+    )
+
+
+class Aligner:
+    """Device-resident aligner bound to one ReferencePack + SeedIndex."""
+
+    def __init__(
+        self,
+        pack: ReferencePack,
+        index: SeedIndex,
+        scoring: ScoringParams,
+        seed_params: Optional[SeedParams] = None,
+        max_read_len: int = 128,
+    ):
+        self.pack = pack
+        self.scoring = scoring
+        self.seed_params = seed_params or SeedParams()
+        self.max_read_len = max_read_len
+        self.index_arrays = dict(
+            table_key=jnp.asarray(index.table_key),
+            table_start=jnp.asarray(index.table_start),
+            table_count=jnp.asarray(index.table_count),
+            positions=jnp.asarray(index.positions),
+        )
+        self.pack_codes = jnp.asarray(pack.codes)
+        # x64 is disabled under jit; packs are asserted < 2 GiB at index
+        # build time so int32 offsets are exact
+        self.pack_offsets = jnp.asarray(pack.offsets.astype(np.int32))
+
+    def align_batch(self, batch: ReadBatch) -> AlignmentResult:
+        dev = self.align_batch_device(
+            jnp.asarray(batch.codes), jnp.asarray(batch.lengths))
+        host = {k: np.array(v) for k, v in dev.items()}
+        # mask out padding rows
+        host["valid"][batch.n_reads:] = False
+        return AlignmentResult(names=batch.names, n_reads=batch.n_reads, **host)
+
+    def align_batch_device(self, codes: jnp.ndarray, qlens: jnp.ndarray):
+        return _align_batch_device(
+            self.index_arrays, self.pack_codes, self.pack_offsets,
+            codes, qlens, self.scoring, self.seed_params, self.max_read_len,
+        )

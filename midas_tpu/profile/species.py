@@ -1,0 +1,280 @@
+"""Species abundance profiling from universal single-copy marker genes.
+
+TPU-native re-implementation of midas/run/species.py: reads are aligned
+to the 15-family marker database with the device seed-and-extend
+aligner (replacing the `stream_seqs | hs-blastn` pipeline at
+species.py:29-49), then classified with the reference's exact filter
+semantics:
+
+- per-marker-family %id cutoffs (species.py:72-76, get_markers :121-132)
+- query coverage >= aln_cov, default 0.75 (:77-78)
+- best score per read with ties kept (:79-84)
+- unique reads counted per species; ambiguous reads assigned
+  probabilistically in proportion to unique counts (:87-119). The
+  reference's RNG is unseeded (np.random.choice at :117); we seed it
+  (default 42) so runs are reproducible — documented divergence.
+- coverage = aligned bp / total marker gene length, relative abundance
+  = coverage / total coverage (:141-163)
+- species_profile.txt sorted by read count descending, species_info
+  file order breaking ties (:165-175)
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from midas_tpu.align.params import MARKER_SCORING
+from midas_tpu.align.pipeline import Aligner, AlignmentResult
+from midas_tpu.align.seed import SeedParams
+from midas_tpu.db.index import build_seed_index
+from midas_tpu.db.layout import Database
+from midas_tpu.db.refpack import pack_from_fasta
+from midas_tpu.io.batch import load_read_batches
+from midas_tpu.io.seqio import parse_file
+
+
+class SpeciesProfiler:
+    """Aligner + classifier bound to one database's marker genes."""
+
+    def __init__(
+        self,
+        db: Database,
+        mapid: Optional[float] = None,
+        aln_cov: float = 0.75,
+        seed: int = 42,
+        seed_params: Optional[SeedParams] = None,
+        max_read_len: int = 128,
+    ):
+        self.db = db
+        self.aln_cov = aln_cov
+        self.seed = seed
+        self.marker_info = db.marker_info()
+        self.cutoffs = db.marker_cutoffs(override=mapid)
+        self.pack = pack_from_fasta(db.marker_fasta())
+        sp = seed_params or SeedParams(num_cands=8, max_hits=32)
+        self.index = build_seed_index(self.pack, k=sp.k)
+        self.aligner = Aligner(self.pack, self.index, MARKER_SCORING, sp,
+                               max_read_len=max_read_len)
+        # per-target-sequence columns, aligned with pack.names
+        self.species_order = list(db.species_info())  # file order
+        sp_index = {s: i for i, s in enumerate(self.species_order)}
+        self.seq_species = np.array(
+            [sp_index[self.marker_info[g]["species_id"]] for g in self.pack.names],
+            dtype=np.int32,
+        )
+        self.seq_cutoff = np.array(
+            [self.cutoffs[self.marker_info[g]["marker_id"]] for g in self.pack.names],
+            dtype=np.float32,
+        )
+        # total marker gene length per species (species.py:134-139)
+        self.total_gene_length = np.zeros(len(self.species_order), dtype=np.float64)
+        for r in self.marker_info.values():
+            self.total_gene_length[sp_index[r["species_id"]]] += int(r["gene_length"])
+
+    def run(
+        self,
+        read_paths,
+        read_length: Optional[int] = None,
+        max_reads: Optional[int] = None,
+        batch_size: int = 2048,
+        m8_path: Optional[str] = None,
+    ) -> Dict:
+        """Align + classify all reads. Returns the abundance dict:
+        species_id -> {count, cov, rel_abun}."""
+        n_species = len(self.species_order)
+        unique_count = np.zeros(n_species, dtype=np.int64)
+        unique_bp = np.zeros(n_species, dtype=np.float64)
+        ambiguous: List[Tuple[np.ndarray, np.ndarray]] = []  # (species_idx[], bp[])
+        total_reads = 0
+        total_bp = 0
+        total_alns = 0
+        m8 = open(m8_path, "w") if m8_path else None
+
+        for batch in load_read_batches(
+            read_paths, batch_size=batch_size, max_len=self.aligner.max_read_len,
+            read_length=read_length, max_reads=max_reads,
+        ):
+            total_reads += batch.n_reads
+            total_bp += int(batch.lengths[: batch.n_reads].sum())
+            res = self.aligner.align_batch(batch)
+            pid = res.blast_pid
+            aln = res.aln_cols
+            cutoff = self.seq_cutoff[np.clip(res.seq_idx, 0, len(self.seq_cutoff) - 1)]
+            qlens = np.asarray(batch.lengths)[:, None]
+            qcov = aln / np.maximum(qlens, 1)
+            keep = (
+                res.valid
+                & (res.score > 0)
+                & (pid >= cutoff)
+                & (qcov >= self.aln_cov)
+            )
+            total_alns += int(res.valid.sum())
+            if m8 is not None:
+                self._write_m8(m8, batch, res)
+            scores = np.where(keep, res.score, -np.inf)
+            best = scores.max(axis=1)
+            has_hit = np.isfinite(best)
+            best_mask = keep & (scores == best[:, None])
+            n_best = best_mask.sum(axis=1)
+            sp_of = self.seq_species[np.clip(res.seq_idx, 0, len(self.seq_species) - 1)]
+            for i in np.flatnonzero(has_hit[: batch.n_reads]):
+                cols = np.flatnonzero(best_mask[i])
+                if n_best[i] == 1:
+                    c = cols[0]
+                    unique_count[sp_of[i, c]] += 1
+                    unique_bp[sp_of[i, c]] += aln[i, c]
+                else:
+                    ambiguous.append((sp_of[i, cols], aln[i, cols]))
+        if m8 is not None:
+            m8.close()
+
+        # probabilistic assignment of ambiguous reads (species.py:104-119)
+        rng = np.random.RandomState(self.seed)
+        pyrng = random.Random(self.seed)
+        count = unique_count.copy()
+        bp = unique_bp.copy()
+        for sp_ids, alns in ambiguous:
+            weights = unique_count[sp_ids].astype(np.float64)
+            if weights.sum() == 0:
+                j = pyrng.randrange(len(sp_ids))
+            else:
+                probs = weights / weights.sum()
+                chosen_sp = rng.choice(sp_ids, 1, p=probs)[0]
+                j = int(np.flatnonzero(sp_ids == chosen_sp)[0])
+            count[sp_ids[j]] += 1
+            bp[sp_ids[j]] += alns[j]
+
+        # normalize (species.py:141-163)
+        cov = np.where(self.total_gene_length > 0, bp / np.maximum(self.total_gene_length, 1), 0.0)
+        total_cov = cov.sum()
+        rel = cov / total_cov if total_cov > 0 else np.zeros_like(cov)
+        abundance = {}
+        for i, sid in enumerate(self.species_order):
+            abundance[sid] = {
+                "count": int(count[i]),
+                "cov": float(cov[i]),
+                "rel_abun": float(rel[i]) if total_cov > 0 else 0,
+            }
+        self.stats = dict(total_reads=total_reads, total_bp=total_bp,
+                          total_alns=total_alns)
+        return abundance
+
+    def _write_m8(self, fh, batch, res: AlignmentResult) -> None:
+        """BLAST outfmt-6-compatible rows for passing candidates, with the
+        reference's renamed-query convention '{id}_{len}'
+        (stream_seqs.py:59)."""
+        dblen = self.pack.total_len
+        for i in range(res.n_reads):
+            qlen = int(batch.lengths[i])
+            qname = f"{batch.names[i]}_{qlen}"
+            for c in np.flatnonzero(res.valid[i]):
+                if res.score[i, c] <= 0:
+                    continue
+                raw = float(res.score[i, c])
+                bits = MARKER_SCORING.bitscore(raw)
+                ev = MARKER_SCORING.evalue(raw, qlen, dblen)
+                strand = int(res.strand[i, c])
+                ts, te = int(res.tstart[i, c]) + 1, int(res.tend[i, c])
+                if strand:  # minus strand: m8 swaps target coords
+                    ts, te = te, ts
+                fh.write("\t".join(str(x) for x in [
+                    qname, self.pack.names[res.seq_idx[i, c]],
+                    f"{res.blast_pid[i, c]:.2f}", int(res.aln_cols[i, c]),
+                    int(res.mismatches[i, c]), int(res.gap_opens[i, c]),
+                    int(res.qstart[i, c]) + 1, int(res.qend[i, c]),
+                    ts, te, f"{ev:.2g}", f"{bits:.1f}",
+                ]) + "\n")
+
+
+def write_abundance(outpath: str, abundance: Dict) -> None:
+    """species_profile.txt writer, format-identical to species.py:165-175."""
+    with open(outpath, "w") as f:
+        f.write("\t".join(["species_id", "count_reads", "coverage", "relative_abundance"]) + "\n")
+        order = sorted(abundance.items(), key=lambda kv: kv[1]["count"], reverse=True)
+        for sid, v in order:
+            f.write("\t".join(str(x) for x in [sid, v["count"], v["cov"], v["rel_abun"]]) + "\n")
+
+
+def read_abundance(inpath: str) -> Dict[str, dict]:
+    """Parse species_profile.txt (species.py:177-189)."""
+    if not os.path.isfile(inpath):
+        sys.exit(
+            "\nCould not locate species profile: %s\n"
+            "Try rerunning with run_midas.py species" % inpath
+        )
+    abun = {}
+    for rec in parse_file(inpath):
+        rec = dict(rec)
+        if "count_reads" in rec:
+            rec["count_reads"] = int(rec["count_reads"])
+        if "coverage" in rec:
+            rec["coverage"] = float(rec["coverage"])
+        if "relative_abundance" in rec:
+            rec["relative_abundance"] = float(rec["relative_abundance"])
+        abun[rec["species_id"]] = rec
+    return abun
+
+
+def select_species(
+    db: Database,
+    outdir: str,
+    species_cov: Optional[float] = None,
+    species_topn: Optional[int] = None,
+    species_id: Optional[List[str]] = None,
+) -> List[str]:
+    """Select species for genes/snps profiling — intersection of the
+    requested criteria, minus exclude.txt (species.py:191-227)."""
+    species_sets = []
+    if species_cov is not None or species_topn is not None:
+        abundance = read_abundance(os.path.join(outdir, "species/species_profile.txt"))
+        if species_cov is not None:
+            species_sets.append(
+                {s for s, v in abundance.items() if v["coverage"] >= species_cov})
+        if species_topn is not None:
+            ranked = sorted(abundance.items(),
+                            key=lambda kv: kv[1]["relative_abundance"], reverse=True)
+            species_sets.append({s for s, _v in ranked[:species_topn]})
+    if species_id:
+        species_sets.append(set(species_id))
+    if not species_sets:
+        return []
+    my_species = list(set.intersection(*species_sets))
+    for bad in db.excluded_species():
+        if bad in my_species:
+            my_species.remove(bad)
+    if not my_species:
+        sys.exit("\nError: no species sastisfied your selection criteria. \n")
+    return my_species
+
+
+def run_species(args: Dict) -> Dict:
+    """Pipeline driver with the reference's output layout
+    (species.py:229-269): <outdir>/species/{species_profile.txt,
+    temp/alignments.m8, temp/read_count.txt}."""
+    outdir = args["outdir"]
+    os.makedirs(os.path.join(outdir, "species/temp"), exist_ok=True)
+    db = Database(args["db"])
+    profiler = SpeciesProfiler(
+        db, mapid=args.get("mapid"), aln_cov=args.get("aln_cov", 0.75),
+        seed=args.get("seed", 42),
+    )
+    paths = [args["m1"]]
+    if args.get("m2"):
+        paths.append(args["m2"])
+    m8_path = os.path.join(outdir, "species/temp/alignments.m8")
+    abundance = profiler.run(
+        paths, read_length=args.get("read_length"),
+        max_reads=args.get("max_reads"), m8_path=m8_path,
+    )
+    with open(os.path.join(outdir, "species/temp/read_count.txt"), "w") as f:
+        f.write(f"{profiler.stats['total_reads']}\t{profiler.stats['total_bp']}")
+    write_abundance(os.path.join(outdir, "species/species_profile.txt"), abundance)
+    if args.get("remove_temp"):
+        import shutil
+        shutil.rmtree(os.path.join(outdir, "species/temp"))
+    return abundance
