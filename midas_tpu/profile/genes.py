@@ -1,0 +1,200 @@
+"""Pangenome CNV profiling — TPU-native midas/run/genes.py.
+
+Reads are aligned with the local-scoring aligner against a per-run pack
+of the selected species' 99%-identity gene centroids (replacing
+build_pangenome_db + bowtie2 --very-sensitive-local at
+genes.py:84-145). Gene depths are per-gene aligned-bp sums over kept
+reads (count_mapped_bp :171-203), copy numbers normalize by the median
+depth of the species' 15 marker genes (normalize :205-218), and
+outputs are per-species <outdir>/genes/output/<sp>.genes.gz plus
+genes/summary.txt (write_results :220-245).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from midas_tpu.align.params import LOCAL_SCORING
+from midas_tpu.align.pipeline import Aligner
+from midas_tpu.align.seed import SeedParams
+from midas_tpu.db.index import build_seed_index
+from midas_tpu.db.layout import Database
+from midas_tpu.db.refpack import ReferencePack, pack_from_fasta
+from midas_tpu.io.batch import load_read_batches
+from midas_tpu.io.seqio import iopen, parse_file
+from midas_tpu.profile.common import keep_read_mask, pick_best_hits, resolve_species_list
+
+
+class GenesProfiler:
+    def __init__(
+        self,
+        db: Database,
+        species_ids: List[str],
+        mapid: float = 94.0,
+        readq: float = 20.0,
+        mapq: int = 0,
+        aln_cov: float = 0.75,
+        seed_params: Optional[SeedParams] = None,
+        max_read_len: int = 128,
+    ):
+        self.db = db
+        self.species_ids = list(species_ids)
+        self.mapid, self.readq, self.mapq, self.aln_cov = mapid, readq, mapq, aln_cov
+        # per-run pangenome pack over selected species (genes.py:84-114)
+        self.pack = pack_from_fasta([db.pangenome_fasta(s) for s in self.species_ids])
+        sp_index = {s: i for i, s in enumerate(self.species_ids)}
+        # gene -> species from per-species fasta ordering
+        self.gene_species = np.zeros(self.pack.num_seqs, dtype=np.int32)
+        cursor = 0
+        for s in self.species_ids:
+            n = sum(1 for _ in _fasta_ids(db.pangenome_fasta(s)))
+            self.gene_species[cursor: cursor + n] = sp_index[s]
+            cursor += n
+        assert cursor == self.pack.num_seqs
+        # marker ids per gene (genes.py:74-82): only genes present in the
+        # pangenome pack get a marker annotation
+        name_to_idx = {n: i for i, n in enumerate(self.pack.names)}
+        self.gene_marker = np.full(self.pack.num_seqs, -1, dtype=np.int32)
+        marker_ids = sorted(db.marker_cutoffs())
+        marker_index = {m: i for i, m in enumerate(marker_ids)}
+        for r in parse_file(_marker_map_path(db)):
+            gi = name_to_idx.get(r["gene_id"])
+            if gi is not None:
+                self.gene_marker[gi] = marker_index[r["marker_id"]]
+        self.n_markers = len(marker_ids)
+        sp = seed_params or SeedParams(num_cands=4)
+        self.index = build_seed_index(self.pack, k=sp.k)
+        self.aligner = Aligner(self.pack, self.index, LOCAL_SCORING, sp,
+                               max_read_len=max_read_len)
+
+    def run(self, read_paths, max_reads=None, trim=0, batch_size: int = 2048) -> Dict:
+        G = self.pack.num_seqs
+        aligned_reads = np.zeros(G, dtype=np.int64)
+        mapped_reads = np.zeros(G, dtype=np.int64)
+        depth = np.zeros(G, dtype=np.float64)
+        gene_len = self.pack.lengths.astype(np.float64)
+        read_length = None
+        for batch in load_read_batches(
+            read_paths, batch_size=batch_size, max_len=self.aligner.max_read_len,
+            max_reads=max_reads,
+        ):
+            if trim:
+                # --trim3: drop bases from the 3' end (genes.py:122)
+                batch.lengths = np.maximum(batch.lengths - trim, 0).astype(np.int32)
+                for i in range(batch.codes.shape[0]):
+                    batch.codes[i, batch.lengths[i]:] = 4
+            res = self.aligner.align_batch(batch)
+            aligned, best_col, mapqs = pick_best_hits(res, LOCAL_SCORING, batch.lengths)
+            aligned[res.n_reads:] = False
+            rows = np.flatnonzero(aligned)
+            g = res.seq_idx[rows, best_col[rows]]
+            np.add.at(aligned_reads, g, 1)
+            keep = keep_read_mask(res, best_col, batch, mapqs,
+                                  self.mapid, self.readq, self.mapq, self.aln_cov)
+            krows = np.flatnonzero(aligned & keep)
+            gk = res.seq_idx[krows, best_col[krows]]
+            np.add.at(mapped_reads, gk, 1)
+            alen = (res.qend - res.qstart)[krows, best_col[krows]].astype(np.float64)
+            np.add.at(depth, gk, alen / gene_len[gk])
+
+        # normalize by median marker depth (genes.py:205-218)
+        S = len(self.species_ids)
+        marker_cov = np.zeros(S, dtype=np.float64)
+        for si in range(S):
+            vals = []
+            for mi in range(self.n_markers):
+                sel = (self.gene_species == si) & (self.gene_marker == mi)
+                if sel.any():
+                    vals.append(depth[sel].sum())
+            marker_cov[si] = float(np.median(vals)) if vals else 0.0
+        copies = np.zeros(G, dtype=np.float64)
+        for si in range(S):
+            if marker_cov[si] > 0:
+                sel = self.gene_species == si
+                copies[sel] = depth[sel] / marker_cov[si]
+
+        self.results = dict(
+            aligned_reads=aligned_reads, mapped_reads=mapped_reads,
+            depth=depth, copies=copies, marker_cov=marker_cov,
+        )
+        return self.results
+
+    def write_results(self, outdir: str) -> None:
+        """Per-species .genes.gz + genes/summary.txt (genes.py:220-245)."""
+        r = self.results
+        os.makedirs(os.path.join(outdir, "genes/output"), exist_ok=True)
+        order = np.argsort(np.asarray(self.pack.names))  # sorted gene ids
+        handles = {}
+        for si, sid in enumerate(self.species_ids):
+            path = os.path.join(outdir, f"genes/output/{sid}.genes.gz")
+            handles[si] = iopen(path, "wt")
+            handles[si].write("\t".join(
+                ["gene_id", "count_reads", "coverage", "copy_number"]) + "\n")
+        for gi in order:
+            si = self.gene_species[gi]
+            handles[si].write("\t".join(str(x) for x in [
+                self.pack.names[gi], r["mapped_reads"][gi],
+                r["depth"][gi], r["copies"][gi]]) + "\n")
+        for h in handles.values():
+            h.close()
+        with open(os.path.join(outdir, "genes/summary.txt"), "w") as f:
+            f.write("\t".join([
+                "species_id", "pangenome_size", "covered_genes",
+                "fraction_covered", "mean_coverage", "marker_coverage",
+                "aligned_reads", "mapped_reads"]) + "\n")
+            for si, sid in enumerate(self.species_ids):
+                sel = self.gene_species == si
+                d = r["depth"][sel]
+                nz = d[d > 0]
+                pangenome_size = int(sel.sum())
+                covered = len(nz)
+                mean_cov = float(nz.mean()) if covered else 0
+                f.write("\t".join(str(x) for x in [
+                    sid, pangenome_size, covered,
+                    covered / float(pangenome_size) if pangenome_size else 0,
+                    mean_cov, r["marker_cov"][si],
+                    int(r["aligned_reads"][sel].sum()),
+                    int(r["mapped_reads"][sel].sum())]) + "\n")
+
+
+def _fasta_ids(path):
+    from midas_tpu.io.seqio import read_fastx
+    with iopen(path) as fp:
+        for name, _s, _q in read_fastx(fp):
+            yield name
+
+
+def _marker_map_path(db: Database):
+    import os as _os
+    for ext in ["", ".gz"]:
+        p = _os.path.join(db.dir, "marker_genes/phyeco.map" + ext)
+        if _os.path.isfile(p):
+            return p
+    raise FileNotFoundError("phyeco.map")
+
+
+def run_genes(args: Dict) -> GenesProfiler:
+    """Pipeline driver with the reference output layout
+    (genes.py:252-291)."""
+    outdir = args["outdir"]
+    os.makedirs(os.path.join(outdir, "genes/temp"), exist_ok=True)
+    os.makedirs(os.path.join(outdir, "genes/output"), exist_ok=True)
+    db = Database(args["db"])
+    species_ids = resolve_species_list(args, db, "genes")
+    profiler = GenesProfiler(
+        db, species_ids,
+        mapid=args.get("mapid", 94.0), readq=args.get("readq", 20.0),
+        mapq=args.get("mapq", 0), aln_cov=args.get("aln_cov", 0.75),
+    )
+    paths = [args["m1"]]
+    if args.get("m2"):
+        paths.append(args["m2"])
+    profiler.run(paths, max_reads=args.get("max_reads"), trim=args.get("trim", 0))
+    profiler.write_results(outdir)
+    if args.get("remove_temp"):
+        import shutil
+        shutil.rmtree(os.path.join(outdir, "genes/temp"))
+    return profiler

@@ -1,0 +1,230 @@
+"""SNP pileup profiling — TPU-native midas/run/snps.py.
+
+Reads are aligned end-to-end (glocal) against a per-run pack of the
+selected species' representative genomes (replacing build_genome_db +
+bowtie2 global mode + samtools sort at snps.py:69-128). The pysam
+count_coverage pileup (:164-216) becomes a vectorized scatter-add of
+base counts: each kept read contributes its bases at the reference
+positions given by its alignment column map, masked by base quality
+>= baseq. Gapless reads (the overwhelming majority) have a closed-form
+column map; gapped reads fall back to the exact oracle traceback.
+
+Output contract: per-species <outdir>/snps/output/<sp>.snps.gz with one
+row per genomic position (ref_id, ref_pos 1-based, ref_allele, depth,
+count_a, count_c, count_g, count_t) over contigs in sorted id order,
+plus snps/summary.txt (snps_summary :247-262).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from midas_tpu.align.oracle import align_oracle
+from midas_tpu.align.params import GLOBAL_SCORING
+from midas_tpu.align.pipeline import Aligner
+from midas_tpu.align.seed import SeedParams
+from midas_tpu.db.index import build_seed_index
+from midas_tpu.db.layout import Database
+from midas_tpu.db.refpack import pack_from_fasta
+from midas_tpu.io.batch import load_read_batches
+from midas_tpu.io.seqio import CODE_TO_BASE, iopen
+from midas_tpu.profile.common import keep_read_mask, pick_best_hits, resolve_species_list
+
+
+class SnpsProfiler:
+    def __init__(
+        self,
+        db: Database,
+        species_ids: List[str],
+        mapid: float = 94.0,
+        readq: float = 20.0,
+        mapq: int = 20,
+        baseq: int = 30,
+        aln_cov: float = 0.75,
+        seed_params: Optional[SeedParams] = None,
+        max_read_len: int = 128,
+    ):
+        self.db = db
+        self.species_ids = list(species_ids)
+        self.mapid, self.readq, self.mapq = mapid, readq, mapq
+        self.baseq, self.aln_cov = baseq, aln_cov
+        self.pack = pack_from_fasta([db.rep_genome_fasta(s) for s in self.species_ids])
+        # contig -> species from per-file contig counts
+        self.contig_species = np.zeros(self.pack.num_seqs, dtype=np.int32)
+        cursor = 0
+        for si, s in enumerate(self.species_ids):
+            n = _count_fasta_records(db.rep_genome_fasta(s))
+            self.contig_species[cursor: cursor + n] = si
+            cursor += n
+        assert cursor == self.pack.num_seqs
+        sp = seed_params or SeedParams(num_cands=4)
+        self.index = build_seed_index(self.pack, k=sp.k)
+        self.aligner = Aligner(self.pack, self.index, GLOBAL_SCORING, sp,
+                               max_read_len=max_read_len)
+
+    def run(self, read_paths, max_reads=None, trim=0, batch_size: int = 2048) -> Dict:
+        G = self.pack.total_len
+        counts = np.zeros((4, G), dtype=np.int32)
+        S = len(self.species_ids)
+        aligned_reads = np.zeros(S, dtype=np.int64)
+        mapped_reads = np.zeros(S, dtype=np.int64)
+        n_gapped = 0
+
+        for batch in load_read_batches(
+            read_paths, batch_size=batch_size, max_len=self.aligner.max_read_len,
+            max_reads=max_reads,
+        ):
+            if trim:
+                batch.lengths = np.maximum(batch.lengths - trim, 0).astype(np.int32)
+                for i in range(batch.codes.shape[0]):
+                    batch.codes[i, batch.lengths[i]:] = 4
+            res = self.aligner.align_batch(batch)
+            aligned, best_col, mapqs = pick_best_hits(res, GLOBAL_SCORING, batch.lengths)
+            aligned[res.n_reads:] = False
+            rows = np.flatnonzero(aligned)
+            sp_of = self.contig_species[res.seq_idx[rows, best_col[rows]]]
+            np.add.at(aligned_reads, sp_of, 1)
+            keep = keep_read_mask(res, best_col, batch, mapqs,
+                                  self.mapid, self.readq, self.mapq, self.aln_cov)
+            krows = np.flatnonzero(aligned & keep)
+            np.add.at(mapped_reads,
+                      self.contig_species[res.seq_idx[krows, best_col[krows]]], 1)
+
+            # strand-adjusted query codes and quals
+            L = batch.codes.shape[1]
+            lens = batch.lengths
+            rc_codes = _revcomp_host(batch.codes, lens)
+            rc_quals = _reverse_host(batch.quals, lens)
+
+            for i in krows:
+                c = best_col[i]
+                strand = res.strand[i, c]
+                q = (rc_codes if strand else batch.codes)[i]
+                qq = (rc_quals if strand else batch.quals)[i]
+                qlen = int(lens[i])
+                seq_lo = int(self.pack.offsets[res.seq_idx[i, c]])
+                tstart, tend = int(res.tstart[i, c]), int(res.tend[i, c])
+                qstart, qend = int(res.qstart[i, c]), int(res.qend[i, c])
+                if res.gap_cols[i, c] == 0:
+                    qpos = np.arange(qstart, qend)
+                    tpos = seq_lo + tstart + (qpos - qstart)
+                else:
+                    n_gapped += 1
+                    lo = max(seq_lo + tstart - 8, 0)
+                    hi = min(seq_lo + tend + 8, G)
+                    window = self.pack.codes[lo:hi]
+                    a = align_oracle(q[:qlen], window, GLOBAL_SCORING)
+                    m = a.qpos_to_tpos(qlen)
+                    qpos = np.flatnonzero(m >= 0)
+                    tpos = lo + m[qpos]
+                base = q[qpos]
+                mask = (qq[qpos] >= self.baseq) & (base < 4)
+                np.add.at(counts, (base[mask], tpos[mask]), 1)
+
+        self.counts = counts
+        self.stats = dict(aligned_reads=aligned_reads, mapped_reads=mapped_reads,
+                          n_gapped=n_gapped)
+        return dict(counts=counts, **self.stats)
+
+    def write_results(self, outdir: str) -> Dict[str, dict]:
+        """Per-species .snps.gz over every genomic site + summary.txt."""
+        os.makedirs(os.path.join(outdir, "snps/output"), exist_ok=True)
+        depth_all = self.counts.sum(axis=0)
+        summaries = {}
+        for si, sid in enumerate(self.species_ids):
+            path = os.path.join(outdir, f"snps/output/{sid}.snps.gz")
+            genome_length = covered = total_depth = 0
+            with iopen(path, "wt") as f:
+                f.write("\t".join(["ref_id", "ref_pos", "ref_allele", "depth",
+                                   "count_a", "count_c", "count_g", "count_t"]) + "\n")
+                contig_ids = [ci for ci in range(self.pack.num_seqs)
+                              if self.contig_species[ci] == si]
+                # reference iterates contigs in sorted id order (snps.py:185)
+                contig_ids.sort(key=lambda ci: self.pack.names[ci])
+                for ci in contig_ids:
+                    lo, hi = int(self.pack.offsets[ci]), int(self.pack.offsets[ci + 1])
+                    name = self.pack.names[ci]
+                    alleles = CODE_TO_BASE[self.pack.codes[lo:hi].astype(np.int64)]
+                    d = depth_all[lo:hi]
+                    a, cc, g, t = (self.counts[j, lo:hi] for j in range(4))
+                    rows = "\n".join(
+                        f"{name}\t{p + 1}\t{chr(alleles[p])}\t{d[p]}\t{a[p]}\t{cc[p]}\t{g[p]}\t{t[p]}"
+                        for p in range(hi - lo)
+                    )
+                    if hi > lo:
+                        f.write(rows + "\n")
+                    genome_length += hi - lo
+                    covered += int((d > 0).sum())
+                    total_depth += int(d.sum())
+            summaries[sid] = dict(
+                genome_length=genome_length,
+                covered_bases=covered,
+                fraction_covered=covered / float(genome_length) if genome_length else 0,
+                mean_coverage=total_depth / float(covered) if covered else 0,
+                aligned_reads=int(self.stats["aligned_reads"][si]),
+                mapped_reads=int(self.stats["mapped_reads"][si]),
+            )
+        with open(os.path.join(outdir, "snps/summary.txt"), "w") as f:
+            fields = ["species_id", "genome_length", "covered_bases",
+                      "fraction_covered", "mean_coverage", "aligned_reads",
+                      "mapped_reads"]
+            f.write("\t".join(fields) + "\n")
+            for sid in self.species_ids:
+                s = summaries[sid]
+                f.write("\t".join(str(x) for x in [
+                    sid, s["genome_length"], s["covered_bases"],
+                    s["fraction_covered"], s["mean_coverage"],
+                    s["aligned_reads"], s["mapped_reads"]]) + "\n")
+        return summaries
+
+
+def _revcomp_host(codes: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    B, L = codes.shape
+    out = np.full_like(codes, 4)
+    for i in range(B):
+        n = int(lens[i])
+        seg = codes[i, :n]
+        out[i, :n] = np.where(seg < 4, 3 - seg, 4)[::-1]
+    return out
+
+
+def _reverse_host(quals: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    out = np.zeros_like(quals)
+    for i in range(quals.shape[0]):
+        n = int(lens[i])
+        out[i, :n] = quals[i, :n][::-1]
+    return out
+
+
+def _count_fasta_records(path: str) -> int:
+    from midas_tpu.io.seqio import read_fastx
+    with iopen(path) as fp:
+        return sum(1 for _ in read_fastx(fp))
+
+
+def run_snps(args: Dict) -> SnpsProfiler:
+    """Pipeline driver with the reference output layout
+    (snps.py:268-305)."""
+    outdir = args["outdir"]
+    os.makedirs(os.path.join(outdir, "snps/temp"), exist_ok=True)
+    os.makedirs(os.path.join(outdir, "snps/output"), exist_ok=True)
+    db = Database(args["db"])
+    species_ids = resolve_species_list(args, db, "snps")
+    profiler = SnpsProfiler(
+        db, species_ids,
+        mapid=args.get("mapid", 94.0), readq=args.get("readq", 20.0),
+        mapq=args.get("mapq", 20), baseq=args.get("baseq", 30),
+        aln_cov=args.get("aln_cov", 0.75),
+    )
+    paths = [args["m1"]]
+    if args.get("m2"):
+        paths.append(args["m2"])
+    profiler.run(paths, max_reads=args.get("max_reads"), trim=args.get("trim", 0))
+    profiler.write_results(outdir)
+    if args.get("remove_temp"):
+        import shutil
+        shutil.rmtree(os.path.join(outdir, "snps/temp"))
+    return profiler
