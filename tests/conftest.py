@@ -11,6 +11,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/midas_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -23,6 +27,44 @@ def sim_community(tmp_path_factory):
     return simulate_db(str(db_dir), n_species=3, genome_len=12000,
                        gene_len=600, n_extra_genes=4, related_pairs=1,
                        divergence=0.03, seed=0)
+
+
+@pytest.fixture(scope="session")
+def three_samples(sim_community, tmp_path_factory):
+    """Three per-sample pipeline runs (species+genes+snps) over different
+    simulated mixtures; shared by merge and analyze tests."""
+    from midas_tpu.profile.genes import run_genes
+    from midas_tpu.profile.snps import run_snps
+    from midas_tpu.profile.species import run_species
+
+    root = tmp_path_factory.mktemp("cohort")
+    dirs = []
+    mixes = [[0.5, 0.3, 0.15, 0.05], [0.2, 0.5, 0.2, 0.1], [0.4, 0.4, 0.1, 0.1]]
+    for i, mix in enumerate(mixes):
+        fq = str(root / f"reads{i}.fq.gz")
+        simulate_reads(sim_community, fq, n_reads=500, abundances=mix,
+                       error_rate=0.02 if i == 2 else 0.0, seed=10 + i)
+        outdir = str(root / f"sample{i}")
+        base = dict(outdir=outdir, db=sim_community.db_dir, m1=fq, m2=None)
+        run_species(dict(base))
+        run_genes(dict(base, build_db=True, species_cov=0.1))
+        run_snps(dict(base, build_db=True, species_cov=0.1))
+        dirs.append(outdir)
+    return dirs
+
+
+@pytest.fixture(scope="session")
+def merged_all_sites(three_samples, sim_community, tmp_path_factory):
+    """merge_midas snps with lenient (all-sites) filters, for analyze tests."""
+    from midas_tpu.merge import snps as merge_snps
+
+    outdir = str(tmp_path_factory.mktemp("merged_snps_all"))
+    merge_snps.run_pipeline(dict(
+        indirs=three_samples, outdir=outdir, db=sim_community.db_dir,
+        sample_depth=0.0, fract_cov=0.0, min_samples=1,
+        snp_type=["any"], allele_freq=0.01, site_depth=0,
+        site_ratio=float("inf"), site_prev=0.0))
+    return outdir
 
 
 @pytest.fixture(scope="session")
