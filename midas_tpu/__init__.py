@@ -29,3 +29,24 @@ Layer map (bottom → top):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: the alignment kernels compile once
+# per (shape, scoring) configuration; caching makes that a one-time cost
+# per machine instead of per process. Users can override via env.
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "midas_tpu", "jax"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+# Some environments force-register a TPU plugin from sitecustomize and
+# override jax_platforms, making JAX_PLATFORMS=cpu in the env
+# ineffective. MIDAS_TPU_PLATFORM provides a working override (used by
+# tests/CI to pin subprocesses to the virtual-CPU mesh).
+if _os.environ.get("MIDAS_TPU_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["MIDAS_TPU_PLATFORM"])
+    del _jax
+del _os

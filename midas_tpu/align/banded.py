@@ -14,13 +14,16 @@ iteration needed):
 which is a Kogge-Stone max-scan over A[d'] = H_noD[d'] + d'*gap_extend.
 
 Alignment statistics (matches, mismatches, gap columns, gap opens,
-start coordinates) are propagated along the argmax path instead of via
-traceback, so every candidate's %id / NM / coverage — everything the
-reference's filters consume (species.py:64-85, genes.py:153-169) —
-comes out of the single forward pass.
+start coordinates) are propagated along the argmax path as one stacked
+[S, P, D] tensor — every selection is a single `where` with a broadcast
+condition, keeping the scan body small enough for fast XLA compiles and
+mapping directly onto the VPU layout the Pallas kernel uses.
 
 Tie-break priority matches align/oracle.py: diagonal > deletion >
 insertion; earliest row, then smallest offset, for equal best cells.
+
+Stat plane order: 0 matches, 1 mismatches, 2 gap_cols, 3 gap_opens,
+4 qstart row, 5 window-start column.
 """
 
 from __future__ import annotations
@@ -34,27 +37,19 @@ import jax.numpy as jnp
 from midas_tpu.align.params import ScoringParams
 
 NEG = -1e9
-
-# Stat planes carried per DP state, in fixed order.
-#   m: matches, x: mismatches, gc: gap columns, go: gap opens,
-#   qs: query start row, ws: window start column
 N_STATS = 6
 
 
 def _shift_d(x: jnp.ndarray, shift: int, fill: float) -> jnp.ndarray:
     """Shift along the last (band) axis; positive shift moves data toward
-    lower d (x_out[d] = x[d + shift])."""
+    lower d (x_out[..., d] = x[..., d + shift])."""
     if shift == 0:
         return x
+    pad_shape = x.shape[:-1] + (abs(shift),)
+    pad = jnp.full(pad_shape, fill, x.dtype)
     if shift > 0:
-        pad = jnp.full(x.shape[:-1] + (shift,), fill, x.dtype)
         return jnp.concatenate([x[..., shift:], pad], axis=-1)
-    pad = jnp.full(x.shape[:-1] + (-shift,), fill, x.dtype)
     return jnp.concatenate([pad, x[..., :shift]], axis=-1)
-
-
-def _select(cond, a_stats, b_stats):
-    return tuple(jnp.where(cond, a, b) for a, b in zip(a_stats, b_stats))
 
 
 @functools.partial(jax.jit, static_argnames=("params", "band_width"))
@@ -78,175 +73,150 @@ def banded_align(
     ma, mi = float(params.match), float(params.mismatch)
     go_c, ge = float(params.gap_open), float(params.gap_extend)
 
-    d_idx = jnp.arange(D, dtype=jnp.float32)[None, :]  # [1, D]
-
-    zero_stats = tuple(jnp.zeros((P, D), jnp.float32) for _ in range(N_STATS))
-
-    def fresh_stats(i):
-        """Stats of a path that will start with a diagonal move at row i,
-        offset d: first column consumes q[i] and window col i+d."""
-        qs = jnp.full((P, D), i, jnp.float32)
-        ws = jnp.float32(i) + jnp.broadcast_to(d_idx, (P, D))
-        z = jnp.zeros((P, D), jnp.float32)
-        return (z, z, z, z, qs, ws)
-
-    init = dict(
-        H=jnp.zeros((P, D), jnp.float32),
-        H_fresh=jnp.ones((P, D), jnp.bool_),
-        H_stats=zero_stats,
-        I=jnp.full((P, D), NEG, jnp.float32),
-        I_stats=zero_stats,
-        best=jnp.full((P,), NEG, jnp.float32),
-        best_i=jnp.zeros((P,), jnp.float32),
-        best_d=jnp.zeros((P,), jnp.float32),
-        best_stats=tuple(jnp.zeros((P,), jnp.float32) for _ in range(N_STATS)),
-    )
-
+    d_row = jnp.arange(D, dtype=jnp.float32)[None, :]           # [1, D]
+    d_full = jnp.broadcast_to(d_row, (P, D))
+    zeros_pd = jnp.zeros((P, D), jnp.float32)
+    zeros_4pd = jnp.zeros((4, P, D), jnp.float32)
     qlens_f = qlens.astype(jnp.float32)
 
+    init = (
+        zeros_pd,                                   # H
+        jnp.ones((P, D), jnp.bool_),                # H_fresh
+        jnp.zeros((N_STATS, P, D), jnp.float32),    # H_st
+        jnp.full((P, D), NEG, jnp.float32),         # I
+        jnp.zeros((N_STATS, P, D), jnp.float32),    # I_st
+        jnp.full((P,), NEG, jnp.float32),           # best
+        jnp.zeros((P,), jnp.float32),               # best_i
+        jnp.zeros((P,), jnp.float32),               # best_d
+        jnp.zeros((N_STATS, P), jnp.float32),       # best_st
+    )
+
     def step(state, i):
-        q_i = jax.lax.dynamic_slice_in_dim(query, i, 1, axis=1)  # [P,1]
-        r_i = jax.lax.dynamic_slice_in_dim(ref_win, i, D, axis=1)  # [P,D]
-        is_match = (q_i == r_i) & (q_i < 4) & (r_i < 4)
-        sub = jnp.where(is_match, ma, mi)
+        Hp, Hp_fresh, Hp_st, Ip, Ip_st, best, best_i, best_d, best_st = state
+        fi = i.astype(jnp.float32)
+        q_i = jax.lax.dynamic_slice_in_dim(query, i, 1, axis=1)      # [P,1]
+        r_i = jax.lax.dynamic_slice_in_dim(ref_win, i, D, axis=1)    # [P,D]
+        is_match = ((q_i == r_i) & (q_i < 4) & (r_i < 4)).astype(jnp.float32)
+        sub = jnp.where(is_match > 0, ma, mi)
 
-        Hp, Hp_fresh, Hp_stats = state["H"], state["H_fresh"], state["H_stats"]
-        Ip, Ip_stats = state["I"], state["I_stats"]
-
-        # Paths starting at this cell begin from a fresh predecessor.
-        fresh = fresh_stats(i)
-        base_stats = _select(Hp_fresh, fresh, Hp_stats)
+        # stats of a path starting with a diagonal move at row i, offset d
+        fresh_st = jnp.concatenate([
+            zeros_4pd,
+            jnp.full((1, P, D), fi),            # qstart = i
+            (fi + d_full)[None],                # wstart = i + d
+        ])
+        base_st = jnp.where(Hp_fresh[None], fresh_st, Hp_st)
 
         # --- diagonal move -------------------------------------------------
         T1 = Hp + sub
-        T1_m = base_stats[0] + is_match
-        T1_x = base_stats[1] + (1.0 - is_match)
-        T1_stats = (T1_m, T1_x) + base_stats[2:]
+        T1_st = base_st + jnp.concatenate([
+            is_match[None], (1.0 - is_match)[None],
+            jnp.zeros((4, P, D), jnp.float32)])
 
         # --- insertion (consumes query; predecessor offset d+1, prev row) --
         Hp_shift = _shift_d(Hp, 1, NEG)
-        Hp_fresh_shift = _shift_d(Hp_fresh.astype(jnp.float32), 1, 0.0) > 0.5
-        Hp_stats_shift = tuple(_shift_d(s, 1, 0.0) for s in Hp_stats)
-        # leading insertion from fresh: first target col will be i+1+d
-        fresh_ins = (
-            jnp.zeros((P, D), jnp.float32), jnp.zeros((P, D), jnp.float32),
-            jnp.zeros((P, D), jnp.float32), jnp.zeros((P, D), jnp.float32),
-            jnp.full((P, D), i, jnp.float32),
-            jnp.float32(i + 1) + jnp.broadcast_to(d_idx, (P, D)),
-        )
-        open_base = _select(Hp_fresh_shift, fresh_ins, Hp_stats_shift)
+        Hp_fresh_shift = _shift_d(Hp_fresh, 1, False)
+        Hp_st_shift = _shift_d(Hp_st, 1, 0.0)
+        fresh_ins = jnp.concatenate([
+            zeros_4pd,
+            jnp.full((1, P, D), fi),            # qstart = i (the insertion)
+            (fi + 1.0 + d_full)[None],          # first target col = i+1+d
+        ])
+        open_st = jnp.where(Hp_fresh_shift[None], fresh_ins, Hp_st_shift)
         Ip_shift = _shift_d(Ip, 1, NEG)
-        Ip_stats_shift = tuple(_shift_d(s, 1, 0.0) for s in Ip_stats)
+        Ip_st_shift = _shift_d(Ip_st, 1, 0.0)
         i_ext = Ip_shift - ge
         i_open = Hp_shift - go_c - ge
         take_ext = i_ext >= i_open
         I = jnp.where(take_ext, i_ext, i_open)
-        I_stats = _select(take_ext, Ip_stats_shift, open_base)
-        # both branches add one gap column; open adds one gap open
-        I_stats = (
-            I_stats[0], I_stats[1], I_stats[2] + 1.0,
-            I_stats[3] + jnp.where(take_ext, 0.0, 1.0),
-            I_stats[4], I_stats[5],
-        )
+        I_st = jnp.where(take_ext[None], Ip_st_shift, open_st)
+        gap_delta = jnp.concatenate([
+            jnp.zeros((2, P, D), jnp.float32),
+            jnp.ones((1, P, D), jnp.float32),                    # gc + 1
+            jnp.where(take_ext, 0.0, 1.0)[None],                  # go + open
+            jnp.zeros((2, P, D), jnp.float32)])
+        I_st = I_st + gap_delta
 
         # --- pre-deletion best (scan input); diag wins ties over ins -------
         take_I = I > T1
         H_noD = jnp.where(take_I, I, T1)
-        H_noD_stats = _select(take_I, I_stats, T1_stats)
-        noD_fresh = jnp.zeros((P, D), jnp.bool_)
+        H_noD_st = jnp.where(take_I[None], I_st, T1_st)
         if local:
             clamp = H_noD <= 0.0
             H_noD = jnp.where(clamp, 0.0, H_noD)
-            H_noD_stats = _select(clamp, zero_stats, H_noD_stats)
-            noD_fresh = clamp
+            H_noD_st = jnp.where(clamp[None], 0.0, H_noD_st)
+            scan_key = jnp.where(clamp, NEG, H_noD + d_row * ge)
+        else:
+            scan_key = H_noD + d_row * ge
 
         # --- deletion via exclusive prefix-max scan over the band ----------
-        A = H_noD + d_idx * ge
-        # fresh cells must not seed deletions (a deletion from nothing is
-        # just a later start); mask them out of the scan
-        A = jnp.where(noD_fresh, NEG, A)
-        payload = H_noD_stats + (jnp.broadcast_to(d_idx, (P, D)),)
+        # payload: stats + origin offset d'
+        pay = jnp.concatenate([H_noD_st, d_full[None]])
+        A = scan_key
         shift = 1
-        # inclusive Kogge-Stone max-scan with payload
-        incl_A, incl_p = A, payload
         while shift < D:
-            sA = _shift_d(incl_A, -shift, NEG)
-            sp = tuple(_shift_d(s, -shift, 0.0) for s in incl_p)
-            take = sA > incl_A
-            incl_p = _select(take, sp, incl_p)
-            incl_A = jnp.where(take, sA, incl_A)
+            sA = _shift_d(A, -shift, NEG)
+            sp = _shift_d(pay, -shift, 0.0)
+            take = sA > A
+            pay = jnp.where(take[None], sp, pay)
+            A = jnp.where(take, sA, A)
             shift *= 2
-        excl_A = _shift_d(incl_A, -1, NEG)
-        excl_p = tuple(_shift_d(s, -1, 0.0) for s in incl_p)
-        D_val = excl_A - go_c - d_idx * ge
-        d_origin = excl_p[N_STATS]
-        gap_len = jnp.broadcast_to(d_idx, (P, D)) - d_origin
-        D_stats = (
-            excl_p[0], excl_p[1], excl_p[2] + gap_len, excl_p[3] + 1.0,
-            excl_p[4], excl_p[5],
-        )
+        excl_A = _shift_d(A, -1, NEG)
+        excl_p = _shift_d(pay, -1, 0.0)
+        D_val = excl_A - go_c - d_row * ge
+        gap_len = d_full - excl_p[N_STATS]
+        D_st = excl_p[:N_STATS] + jnp.concatenate([
+            jnp.zeros((2, P, D), jnp.float32),
+            gap_len[None],
+            jnp.ones((1, P, D), jnp.float32),
+            jnp.zeros((2, P, D), jnp.float32)])
 
         # --- final H: priority diag > del > ins ----------------------------
-        H = T1
-        H_stats = T1_stats
-        take_D = D_val > H
-        H_stats = _select(take_D, D_stats, H_stats)
-        H = jnp.where(take_D, D_val, H)
+        take_D = D_val > T1
+        H = jnp.where(take_D, D_val, T1)
+        H_st = jnp.where(take_D[None], D_st, T1_st)
         take_I2 = I > H
-        H_stats = _select(take_I2, I_stats, H_stats)
         H = jnp.where(take_I2, I, H)
-        H_fresh = jnp.zeros((P, D), jnp.bool_)
+        H_st = jnp.where(take_I2[None], I_st, H_st)
         if local:
             clamp = H <= 0.0
             H = jnp.where(clamp, 0.0, H)
-            H_stats = _select(clamp, zero_stats, H_stats)
+            H_st = jnp.where(clamp[None], 0.0, H_st)
             H_fresh = clamp
+        else:
+            H_fresh = jnp.zeros((P, D), jnp.bool_)
 
         # --- track best ----------------------------------------------------
         if local:
-            active = (jnp.float32(i) < qlens_f)[:, None]  # [P,1]
-            H_masked = jnp.where(active, H, NEG)
+            active = fi < qlens_f
+            H_masked = jnp.where(active[:, None], H, NEG)
             row_best_d = jnp.argmax(H_masked, axis=1)
-            row_best = jnp.take_along_axis(H_masked, row_best_d[:, None], axis=1)[:, 0]
-            improve = row_best > state["best"]
-            best = jnp.where(improve, row_best, state["best"])
-            best_i = jnp.where(improve, jnp.float32(i), state["best_i"])
-            best_d = jnp.where(improve, row_best_d.astype(jnp.float32), state["best_d"])
-            picked = tuple(
-                jnp.take_along_axis(s, row_best_d[:, None], axis=1)[:, 0]
-                for s in H_stats
-            )
-            best_stats = _select(improve, picked, state["best_stats"])
+            row_best = jnp.max(H_masked, axis=1)
+            improve = row_best > best
         else:
-            at_end = jnp.float32(i) == (qlens_f - 1.0)
             row_best_d = jnp.argmax(H, axis=1)
-            row_best = jnp.take_along_axis(H, row_best_d[:, None], axis=1)[:, 0]
-            best = jnp.where(at_end, row_best, state["best"])
-            best_i = jnp.where(at_end, jnp.float32(i), state["best_i"])
-            best_d = jnp.where(at_end, row_best_d.astype(jnp.float32), state["best_d"])
-            picked = tuple(
-                jnp.take_along_axis(s, row_best_d[:, None], axis=1)[:, 0]
-                for s in H_stats
-            )
-            best_stats = _select(at_end, picked, state["best_stats"])
+            row_best = jnp.max(H, axis=1)
+            improve = fi == (qlens_f - 1.0)
+        picked = jnp.take_along_axis(
+            H_st, row_best_d[None, :, None], axis=2)[:, :, 0]   # [S, P]
+        best = jnp.where(improve, row_best, best)
+        best_i = jnp.where(improve, fi, best_i)
+        best_d = jnp.where(improve, row_best_d.astype(jnp.float32), best_d)
+        best_st = jnp.where(improve[None], picked, best_st)
 
-        new_state = dict(
-            H=H, H_fresh=H_fresh, H_stats=H_stats, I=I, I_stats=I_stats,
-            best=best, best_i=best_i, best_d=best_d, best_stats=best_stats,
-        )
-        return new_state, None
+        return (H, H_fresh, H_st, I, I_st, best, best_i, best_d, best_st), None
 
     state, _ = jax.lax.scan(step, init, jnp.arange(L))
+    _H, _Hf, _Hst, _I, _Ist, best, best_i, best_d, best_st = state
 
-    m, x, gc, go_n, qs, ws = state["best_stats"]
     return dict(
-        score=state["best"],
-        qstart=qs.astype(jnp.int32),
-        qend=(state["best_i"] + 1.0).astype(jnp.int32),
-        wstart=ws.astype(jnp.int32),
-        wend=(state["best_i"] + state["best_d"] + 1.0).astype(jnp.int32),
-        matches=m.astype(jnp.int32),
-        mismatches=x.astype(jnp.int32),
-        gap_cols=gc.astype(jnp.int32),
-        gap_opens=go_n.astype(jnp.int32),
+        score=best,
+        qstart=best_st[4].astype(jnp.int32),
+        qend=(best_i + 1.0).astype(jnp.int32),
+        wstart=best_st[5].astype(jnp.int32),
+        wend=(best_i + best_d + 1.0).astype(jnp.int32),
+        matches=best_st[0].astype(jnp.int32),
+        mismatches=best_st[1].astype(jnp.int32),
+        gap_cols=best_st[2].astype(jnp.int32),
+        gap_opens=best_st[3].astype(jnp.int32),
     )

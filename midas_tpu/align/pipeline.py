@@ -70,48 +70,38 @@ class AlignmentResult:
         return 100.0 * (alen - self.nm) / alen
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("scoring", "seed_params", "max_len"),
-)
-def _align_batch_device(
-    index_arrays: Dict[str, jnp.ndarray],
-    pack_codes: jnp.ndarray,
-    pack_offsets: jnp.ndarray,
+@functools.partial(jax.jit, static_argnames=("num_cands",))
+def _prepare_pairs(
     codes: jnp.ndarray,
     qlens: jnp.ndarray,
-    scoring: ScoringParams,
-    seed_params: SeedParams,
-    max_len: int,
-) -> Dict[str, jnp.ndarray]:
+    strand: jnp.ndarray,   # [B, C]
+    num_cands: int,
+) -> tuple:
+    """Per-candidate strand-selected queries, flattened to [B*C, L]."""
     B, L = codes.shape
-    C = seed_params.num_cands
-    D = seed_params.band_width
-    W = L + D - 1
-
-    cands = find_candidates(index_arrays, codes, qlens, seed_params, max_len)
-    winstart = cands["diag"] - D // 2
-    ref_win, seq_idx = gather_windows(pack_codes, pack_offsets, winstart, W)
-
+    C = num_cands
     rc = revcomp_batch(codes, qlens)
-    # per-candidate query strand selection -> [B, C, L] -> [B*C, L]
-    strand = cands["strand"][:, :, None]  # [B, C, 1]
-    q_pair = jnp.where(strand == 1, rc[:, None, :], codes[:, None, :])
+    q_pair = jnp.where(strand[:, :, None] == 1, rc[:, None, :], codes[:, None, :])
     q_pair = jnp.broadcast_to(q_pair, (B, C, L)).reshape(B * C, L)
     qlens_pair = jnp.broadcast_to(qlens[:, None], (B, C)).reshape(B * C)
-    win_pair = ref_win.reshape(B * C, W)
+    return q_pair, qlens_pair
 
-    out = banded_align(q_pair, qlens_pair, win_pair, scoring, band_width=D)
-    out = {k: v.reshape(B, C) for k, v in out.items()}
 
-    seq_lo = pack_offsets[seq_idx].astype(jnp.int32)
+@jax.jit
+def _postprocess(
+    out: Dict[str, jnp.ndarray],     # [B, C] banded outputs
+    cands: Dict[str, jnp.ndarray],
+    winstart: jnp.ndarray,
+    seq_idx: jnp.ndarray,
+    seq_lo: jnp.ndarray,
+) -> Dict[str, jnp.ndarray]:
     tstart = winstart + out["wstart"] - seq_lo
     tend = winstart + out["wend"] - seq_lo
-
     valid = cands["valid"]
     # drop duplicate alignments: same (seq, strand, tstart) found via two
     # nearby candidate diagonals — keep the first (candidates are emitted
     # in decreasing vote order)
+    C = valid.shape[1]
     dup = jnp.zeros_like(valid)
     for c in range(1, C):
         same = (
@@ -121,7 +111,6 @@ def _align_batch_device(
         )  # [B, c]
         dup = dup.at[:, c].set(jnp.any(same & valid[:, :c], axis=1))
     valid = valid & ~dup
-
     return dict(
         valid=valid,
         score=out["score"],
@@ -136,6 +125,48 @@ def _align_batch_device(
         gap_cols=out["gap_cols"],
         gap_opens=out["gap_opens"],
     )
+
+
+def _align_batch_device(
+    index_arrays: Dict[str, jnp.ndarray],
+    pack_codes: jnp.ndarray,
+    pack_offsets: jnp.ndarray,
+    codes: jnp.ndarray,
+    qlens: jnp.ndarray,
+    scoring: ScoringParams,
+    seed_params: SeedParams,
+    max_len: int,
+) -> Dict[str, jnp.ndarray]:
+    """Seed -> window gather -> banded extension -> postprocess.
+
+    Deliberately NOT one fused jit: each stage is its own jit boundary.
+    Fusing everything lets XLA inline the gather producers into the
+    128-step DP scan body, which blows compile time up ~50x (observed on
+    CPU) for zero runtime win; the stage outputs stay on device either
+    way.
+    """
+    B, L = codes.shape
+    C = seed_params.num_cands
+    D = seed_params.band_width
+    W = L + D - 1
+
+    # The stage syncs below matter: dispatching a stage while the previous
+    # one is still compiling hits a jax-0.9 CPU slow path that inflates
+    # first-call latency ~8x (18s -> 144s observed). The stages form a
+    # strict data dependency chain, so blocking costs nothing at steady
+    # state beyond host dispatch overlap (~ms per batch).
+    cands = find_candidates(index_arrays, codes, qlens, seed_params, max_len)
+    cands = jax.block_until_ready(cands)
+    winstart = cands["diag"] - D // 2
+    ref_win, seq_idx = gather_windows(pack_codes, pack_offsets, winstart, W)
+    ref_win = jax.block_until_ready(ref_win)
+    q_pair, qlens_pair = _prepare_pairs(codes, qlens, cands["strand"], C)
+    out = banded_align(q_pair, qlens_pair, ref_win.reshape(B * C, W),
+                       scoring, band_width=D)
+    out = jax.block_until_ready(out)
+    out = {k: v.reshape(B, C) for k, v in out.items()}
+    seq_lo = pack_offsets[seq_idx].astype(jnp.int32)
+    return _postprocess(out, cands, winstart, seq_idx, seq_lo)
 
 
 class Aligner:
@@ -167,7 +198,11 @@ class Aligner:
     def align_batch(self, batch: ReadBatch) -> AlignmentResult:
         dev = self.align_batch_device(
             jnp.asarray(batch.codes), jnp.asarray(batch.lengths))
-        host = {k: np.array(v) for k, v in dev.items()}
+        # block on the whole pytree BEFORE any per-array conversion:
+        # piecewise np.array() on in-flight results hits a multi-minute
+        # slow path in jax 0.9 CPU async dispatch (observed 338s vs 4s)
+        dev = jax.block_until_ready(dev)
+        host = {k: np.array(v) for k, v in jax.device_get(dev).items()}
         # mask out padding rows
         host["valid"][batch.n_reads:] = False
         return AlignmentResult(names=batch.names, n_reads=batch.n_reads, **host)

@@ -1,0 +1,185 @@
+"""run_midas — per-sample profiling CLI, flag-compatible with the
+reference scripts/run_midas.py (subcommands species/genes/snps,
+argparse surfaces at :86-143, :204-289, :338-430).
+
+Differences from the reference, by design:
+- no --threads-style process parallelism: batches run data-parallel on
+  the accelerator; -t is accepted and ignored for compatibility
+- --speed/-s presets are accepted for compatibility; the aligner always
+  runs its full-sensitivity seed-and-extend path
+- a --seed flag controls the ambiguous-read RNG (the reference is
+  unseeded, midas/run/species.py:113-117)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from time import time
+
+from midas_tpu.db.layout import check_database
+
+
+def species_parser(subs):
+    p = subs.add_parser("species", help="Estimate species abundance from marker genes")
+    p.add_argument("outdir", type=str, help="Path to directory to store results")
+    p.add_argument("-1", type=str, dest="m1", required=True,
+                   help="FASTA/FASTQ file containing 1st mate if using paired-end reads; otherwise FASTA/FASTQ containing unpaired reads. Can be gzip'ed (extension: .gz) or bzip2'ed (extension: .bz2)")
+    p.add_argument("-2", type=str, dest="m2", help="FASTA/FASTQ file containing 2nd mate if using paired-end reads")
+    p.add_argument("-n", type=int, dest="max_reads", help="Number of reads to use from input file(s) (use all)")
+    p.add_argument("-t", dest="threads", default=1, help="Accepted for compatibility; device batches replace host threads")
+    p.add_argument("-d", type=str, dest="db",
+                   default=os.environ.get("MIDAS_DB"),
+                   help="Path to reference database. By default, the MIDAS_DB environmental variable is used")
+    p.add_argument("--remove_temp", default=False, action="store_true",
+                   help="Remove temporary files, including BLAST-like output")
+    p.add_argument("--word_size", type=int, metavar="INT", default=28,
+                   help="Accepted for compatibility (seeding uses the k-mer index)")
+    p.add_argument("--mapid", type=float, metavar="FLOAT",
+                   help="Discard reads with alignment identity < MAPID. By default gene-specific species-level cutoffs are used")
+    p.add_argument("--aln_cov", type=float, metavar="FLOAT", default=0.75,
+                   help="Discard reads with alignment coverage < ALN_COV (0.75)")
+    p.add_argument("--read_length", type=int, metavar="INT",
+                   help="Trim reads to READ_LENGTH and discard reads with length < READ_LENGTH. By default, reads are not trimmed or filtered")
+    p.add_argument("--seed", type=int, default=42,
+                   help="RNG seed for probabilistic assignment of ambiguous reads (42)")
+    return p
+
+
+def _add_shared_align_args(p, mode_default):
+    p.add_argument("outdir", type=str, help="Path to directory to store results")
+    p.add_argument("--remove_temp", default=False, action="store_true",
+                   help="Remove temporary files")
+    pipe = p.add_argument_group("Pipeline options (choose one or more; default=all)")
+    pipe.add_argument("--build_db", action="store_true", default=False,
+                      help="Build database of target sequences for abundant species")
+    pipe.add_argument("--align", action="store_true", default=False,
+                      help="Align reads to target database")
+    db = p.add_argument_group("Database options (if using --build_db)")
+    db.add_argument("-d", type=str, dest="db", default=os.environ.get("MIDAS_DB"),
+                    help="Path to reference database. By default, the MIDAS_DB environmental variable is used")
+    db.add_argument("--species_cov", type=float, metavar="FLOAT",
+                    help="Include species with >X coverage (3.0)")
+    db.add_argument("--species_topn", type=int, metavar="INT",
+                    help="Include top N most abundant species")
+    db.add_argument("--species_id", type=str, metavar="CHAR",
+                    help="Include specified species. Separate ids with a comma")
+    align = p.add_argument_group("Read alignment options (if using --align)")
+    align.add_argument("-1", type=str, dest="m1", required=True,
+                       help="FASTA/FASTQ file containing 1st mate if using paired-end reads; otherwise unpaired reads")
+    align.add_argument("-2", type=str, dest="m2",
+                       help="FASTA/FASTQ file containing 2nd mate")
+    align.add_argument("--interleaved", action="store_true", default=False,
+                       help="FASTA/FASTQ file in -1 are paired and contain forward AND reverse reads")
+    align.add_argument("-s", type=str, dest="speed", default="very-sensitive",
+                       choices=["very-fast", "fast", "sensitive", "very-sensitive"],
+                       help="Accepted for compatibility; the aligner always runs full sensitivity")
+    align.add_argument("-m", type=str, dest="mode", default=mode_default,
+                       choices=["local", "global"],
+                       help=f"Global/local read alignment ({mode_default})")
+    align.add_argument("-n", type=int, dest="max_reads",
+                       help="# reads to use from input file(s) (use all)")
+    align.add_argument("-t", dest="threads", default=1,
+                       help="Accepted for compatibility")
+    return p
+
+
+def genes_parser(subs):
+    p = subs.add_parser("genes", help="Quantify gene copy numbers from species pangenomes")
+    _add_shared_align_args(p, mode_default="local")
+    g = p.add_argument_group("Quantify genes options (if using --call_genes)")
+    p.add_argument("--call_genes", action="store_true", dest="cov", default=False,
+                   help="Compute coverage of genes in pangenome database")
+    g.add_argument("--readq", type=int, metavar="INT", default=20,
+                   help="Discard reads with mean quality < READQ (20)")
+    g.add_argument("--mapid", type=float, metavar="FLOAT", default=94.0,
+                   help="Discard reads with alignment identity < MAPID (94.0)")
+    g.add_argument("--mapq", type=int, metavar="INT", default=0, help=argparse.SUPPRESS)
+    g.add_argument("--aln_cov", type=float, metavar="FLOAT", default=0.75,
+                   help="Discard reads with alignment coverage < ALN_COV (0.75)")
+    g.add_argument("--trim", type=int, default=0, metavar="INT",
+                   help="Trim N base-pairs from 3'/right end of read")
+    return p
+
+
+def snps_parser(subs):
+    p = subs.add_parser("snps", help="Identify SNPs from representative genomes")
+    _add_shared_align_args(p, mode_default="global")
+    p.add_argument("--pileup", action="store_true", dest="call", default=False,
+                   help="Count alleles across genome")
+    s = p.add_argument_group("Pileup options (if using --pileup)")
+    s.add_argument("--mapid", type=float, metavar="FLOAT", default=94.0,
+                   help="Discard reads with alignment identity < MAPID (94.0)")
+    s.add_argument("--mapq", type=int, metavar="INT", default=20,
+                   help="Discard reads with mapping quality < MAPQ (20)")
+    s.add_argument("--baseq", type=int, metavar="INT", default=30,
+                   help="Discard bases with quality < BASEQ (30)")
+    s.add_argument("--readq", type=int, metavar="INT", default=20,
+                   help="Discard reads with mean quality < READQ (20)")
+    s.add_argument("--aln_cov", type=float, metavar="FLOAT", default=0.75,
+                   help="Discard reads with alignment coverage < ALN_COV (0.75)")
+    s.add_argument("--trim", metavar="INT", type=int, default=0,
+                   help="Trim N base-pairs from 3'/right end of read")
+    return p
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        prog="run_midas",
+        description="midas_tpu: TPU-native metagenomic species/gene/SNP profiling per sample",
+    )
+    subs = parser.add_subparsers(dest="program", required=True)
+    species_parser(subs)
+    genes_parser(subs)
+    snps_parser(subs)
+    return parser
+
+
+def _setup_outdir(args: dict, program: str):
+    outdir = args["outdir"]
+    os.makedirs(outdir, exist_ok=True)
+    for sub in [program, f"{program}/temp"] + (
+            [f"{program}/output"] if program in ("genes", "snps") else []):
+        os.makedirs(os.path.join(outdir, sub), exist_ok=True)
+    log = open(os.path.join(outdir, program, "log.txt"), "w")
+    log.write("command: " + " ".join(sys.argv) + "\n")
+    for k in sorted(args):
+        if k not in ("log",):
+            log.write(f"{k}: {args[k]}\n")
+    return log
+
+
+def main(argv=None):
+    args = vars(build_parser().parse_args(argv))
+    program = args["program"]
+    check_database(args.get("db"))
+    if isinstance(args.get("species_id"), str):
+        args["species_id"] = args["species_id"].split(",")
+    # default = all pipeline stages, like the reference (:72-84)
+    if program in ("genes", "snps"):
+        stage_keys = ["build_db", "align", "cov" if program == "genes" else "call"]
+        if not any(args.get(k) for k in stage_keys):
+            for k in stage_keys:
+                args[k] = True
+    log = _setup_outdir(args, program)
+    args["log"] = log
+    start = time()
+    try:
+        if program == "species":
+            from midas_tpu.profile.species import run_species
+            run_species(args)
+        elif program == "genes":
+            from midas_tpu.profile.genes import run_genes
+            run_genes(args)
+        elif program == "snps":
+            from midas_tpu.profile.snps import run_snps
+            run_snps(args)
+    finally:
+        log.write(f"total minutes: {round((time() - start) / 60, 2)}\n")
+        log.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

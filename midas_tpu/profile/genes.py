@@ -184,6 +184,11 @@ def run_genes(args: Dict) -> GenesProfiler:
     os.makedirs(os.path.join(outdir, "genes/output"), exist_ok=True)
     db = Database(args["db"])
     species_ids = resolve_species_list(args, db, "genes")
+    # stage gating: --build_db alone only persists the species list (the
+    # reference's later stages need its BAM intermediates; we have none,
+    # so align+count run fused whenever either is requested)
+    if args.get("build_db") and not (args.get("align") or args.get("cov")):
+        return None
     profiler = GenesProfiler(
         db, species_ids,
         mapid=args.get("mapid", 94.0), readq=args.get("readq", 20.0),

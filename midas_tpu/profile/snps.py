@@ -213,6 +213,8 @@ def run_snps(args: Dict) -> SnpsProfiler:
     os.makedirs(os.path.join(outdir, "snps/output"), exist_ok=True)
     db = Database(args["db"])
     species_ids = resolve_species_list(args, db, "snps")
+    if args.get("build_db") and not (args.get("align") or args.get("call")):
+        return None
     profiler = SnpsProfiler(
         db, species_ids,
         mapid=args.get("mapid", 94.0), readq=args.get("readq", 20.0),

@@ -1,0 +1,6 @@
+#!/usr/bin/env python
+"""Reference-compatible shim: scripts/query_by_compound.py -> midas_tpu.cli.analysis"""
+import sys
+from midas_tpu.cli.analysis import query_by_compound_main
+if __name__ == "__main__":
+    sys.exit(query_by_compound_main())

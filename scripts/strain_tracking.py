@@ -1,0 +1,6 @@
+#!/usr/bin/env python
+"""Reference-compatible shim: scripts/strain_tracking.py -> midas_tpu.cli.analysis"""
+import sys
+from midas_tpu.cli.analysis import strain_tracking_main
+if __name__ == "__main__":
+    sys.exit(strain_tracking_main())

@@ -1,15 +1,22 @@
 """Test configuration: force an 8-device virtual CPU mesh so sharding
-paths compile and run without TPU hardware. Must be set before jax import.
+paths compile and run without TPU hardware.
+
+Note: the environment's sitecustomize force-registers the axon TPU
+plugin and overrides jax_platforms, so JAX_PLATFORMS=cpu in the env is
+NOT enough — jax.config.update after import is what sticks.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", "/tmp/midas_tpu_jax_cache")
@@ -47,8 +54,8 @@ def three_samples(sim_community, tmp_path_factory):
         outdir = str(root / f"sample{i}")
         base = dict(outdir=outdir, db=sim_community.db_dir, m1=fq, m2=None)
         run_species(dict(base))
-        run_genes(dict(base, build_db=True, species_cov=0.1))
-        run_snps(dict(base, build_db=True, species_cov=0.1))
+        run_genes(dict(base, build_db=True, align=True, cov=True, species_cov=0.1))
+        run_snps(dict(base, build_db=True, align=True, call=True, species_cov=0.1))
         dirs.append(outdir)
     return dirs
 

@@ -18,8 +18,8 @@ def sample_dir(sim_community, sim_reads, tmp_path_factory):
     fq, truth = sim_reads
     base = dict(outdir=outdir, db=sim_community.db_dir, m1=fq, m2=None)
     run_species(dict(base))
-    run_genes(dict(base, build_db=True, species_cov=0.1))
-    run_snps(dict(base, build_db=True, species_cov=0.1))
+    run_genes(dict(base, build_db=True, align=True, cov=True, species_cov=0.1))
+    run_snps(dict(base, build_db=True, align=True, call=True, species_cov=0.1))
     return outdir, truth
 
 
