@@ -70,6 +70,33 @@ class AlignmentResult:
         return 100.0 * (alen - self.nm) / alen
 
 
+def dispatch_banded_align(q_pair, qlens_pair, win_pair, scoring, band_width):
+    """Pick the DP implementation for the current backend: the Pallas
+    kernel on TPU (~4 orders of magnitude faster than the lowered jnp
+    graph), the jnp reference elsewhere. MIDAS_TPU_NO_PALLAS=1 forces
+    the jnp path for debugging."""
+    import os
+
+    use_pallas = (jax.default_backend() not in ("cpu",)
+                  and not os.environ.get("MIDAS_TPU_NO_PALLAS"))
+    if not use_pallas:
+        return banded_align(q_pair, qlens_pair, win_pair, scoring,
+                            band_width=band_width)
+    from midas_tpu.align.pallas_sw import LANES, pallas_banded_align
+
+    P = q_pair.shape[0]
+    pad = (-P) % LANES
+    if pad:
+        q_pair = jnp.pad(q_pair, ((0, pad), (0, 0)), constant_values=4)
+        qlens_pair = jnp.pad(qlens_pair, (0, pad))
+        win_pair = jnp.pad(win_pair, ((0, pad), (0, 0)), constant_values=4)
+    out = pallas_banded_align(q_pair, qlens_pair, win_pair, scoring,
+                              band_width=band_width)
+    if pad:
+        out = {k: v[:P] for k, v in out.items()}
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("num_cands",))
 def _prepare_pairs(
     codes: jnp.ndarray,
@@ -161,8 +188,8 @@ def _align_batch_device(
     ref_win, seq_idx = gather_windows(pack_codes, pack_offsets, winstart, W)
     ref_win = jax.block_until_ready(ref_win)
     q_pair, qlens_pair = _prepare_pairs(codes, qlens, cands["strand"], C)
-    out = banded_align(q_pair, qlens_pair, ref_win.reshape(B * C, W),
-                       scoring, band_width=D)
+    out = dispatch_banded_align(q_pair, qlens_pair, ref_win.reshape(B * C, W),
+                                scoring, D)
     out = jax.block_until_ready(out)
     out = {k: v.reshape(B, C) for k, v in out.items()}
     seq_lo = pack_offsets[seq_idx].astype(jnp.int32)
