@@ -80,7 +80,7 @@ def dispatch_banded_align(q_pair, qlens_pair, win_pair, scoring, band_width):
     use_pallas = (jax.default_backend() not in ("cpu",)
                   and not os.environ.get("MIDAS_TPU_NO_PALLAS"))
     if not use_pallas:
-        return banded_align(q_pair, qlens_pair, win_pair, scoring,
+        return banded_align(q_pair, qlens_pair, win_pair, params=scoring,
                             band_width=band_width)
     from midas_tpu.align.pallas_sw import LANES, pallas_banded_align
 
@@ -90,7 +90,7 @@ def dispatch_banded_align(q_pair, qlens_pair, win_pair, scoring, band_width):
         q_pair = jnp.pad(q_pair, ((0, pad), (0, 0)), constant_values=4)
         qlens_pair = jnp.pad(qlens_pair, (0, pad))
         win_pair = jnp.pad(win_pair, ((0, pad), (0, 0)), constant_values=4)
-    out = pallas_banded_align(q_pair, qlens_pair, win_pair, scoring,
+    out = pallas_banded_align(q_pair, qlens_pair, win_pair, params=scoring,
                               band_width=band_width)
     if pad:
         out = {k: v[:P] for k, v in out.items()}
@@ -154,6 +154,34 @@ def _postprocess(
     )
 
 
+def _align_batch_stages(
+    index_arrays, pack_codes, pack_offsets, codes, qlens,
+    scoring: ScoringParams, seed_params: SeedParams, max_len: int,
+) -> Dict[str, jnp.ndarray]:
+    B, L = codes.shape
+    C = seed_params.num_cands
+    D = seed_params.band_width
+    W = L + D - 1
+    # static args must go by keyword: a positional static arg to a
+    # nested jit gets traced instead
+    cands = find_candidates(index_arrays, codes, qlens,
+                            sp=seed_params, max_len=max_len)
+    winstart = cands["diag"] - D // 2
+    ref_win, seq_idx = gather_windows(pack_codes, pack_offsets, winstart,
+                                      window_len=W)
+    q_pair, qlens_pair = _prepare_pairs(codes, qlens, cands["strand"],
+                                        num_cands=C)
+    out = dispatch_banded_align(q_pair, qlens_pair, ref_win.reshape(B * C, W),
+                                scoring, D)
+    out = {k: v.reshape(B, C) for k, v in out.items()}
+    seq_lo = pack_offsets[seq_idx].astype(jnp.int32)
+    return _postprocess(out, cands, winstart, seq_idx, seq_lo)
+
+
+_align_batch_fused = jax.jit(
+    _align_batch_stages, static_argnames=("scoring", "seed_params", "max_len"))
+
+
 def _align_batch_device(
     index_arrays: Dict[str, jnp.ndarray],
     pack_codes: jnp.ndarray,
@@ -166,28 +194,28 @@ def _align_batch_device(
 ) -> Dict[str, jnp.ndarray]:
     """Seed -> window gather -> banded extension -> postprocess.
 
-    Deliberately NOT one fused jit: each stage is its own jit boundary.
-    Fusing everything lets XLA inline the gather producers into the
-    128-step DP scan body, which blows compile time up ~50x (observed on
-    CPU) for zero runtime win; the stage outputs stay on device either
-    way.
+    On TPU the whole chain is ONE jit (one host->device dispatch; the
+    DP runs as a Pallas kernel inside it). On CPU the stages keep
+    separate jit boundaries with syncs between them: there the DP is a
+    lowered 128-step jnp scan, and fusing the gather producers into it
+    blows compile time up ~50x (observed), while dispatching a stage
+    during the previous stage's compile hits a jax-0.9 async slow path
+    (18s -> 144s first-call observed).
     """
-    B, L = codes.shape
-    C = seed_params.num_cands
-    D = seed_params.band_width
-    W = L + D - 1
-
-    # The stage syncs below matter: dispatching a stage while the previous
-    # one is still compiling hits a jax-0.9 CPU slow path that inflates
-    # first-call latency ~8x (18s -> 144s observed). The stages form a
-    # strict data dependency chain, so blocking costs nothing at steady
-    # state beyond host dispatch overlap (~ms per batch).
+    if jax.default_backend() not in ("cpu",):
+        return _align_batch_fused(
+            index_arrays, pack_codes, pack_offsets, codes, qlens,
+            scoring=scoring, seed_params=seed_params, max_len=max_len)
     cands = find_candidates(index_arrays, codes, qlens, seed_params, max_len)
     cands = jax.block_until_ready(cands)
+    D = seed_params.band_width
+    W = codes.shape[1] + D - 1
     winstart = cands["diag"] - D // 2
     ref_win, seq_idx = gather_windows(pack_codes, pack_offsets, winstart, W)
     ref_win = jax.block_until_ready(ref_win)
-    q_pair, qlens_pair = _prepare_pairs(codes, qlens, cands["strand"], C)
+    q_pair, qlens_pair = _prepare_pairs(
+        codes, qlens, cands["strand"], seed_params.num_cands)
+    B, C = codes.shape[0], seed_params.num_cands
     out = dispatch_banded_align(q_pair, qlens_pair, ref_win.reshape(B * C, W),
                                 scoring, D)
     out = jax.block_until_ready(out)

@@ -141,13 +141,20 @@ def find_candidates(
     keys = jnp.concatenate(keys_all, axis=1)  # [B, M]
 
     keys = jnp.sort(keys, axis=1)
-    # votes per element = run length of equal keys (vectorized searchsorted)
-    lo = jax.vmap(lambda row: jnp.searchsorted(row, row, side="left"))(keys)
-    hi = jax.vmap(lambda row: jnp.searchsorted(row, row, side="right"))(keys)
-    votes = (hi - lo).astype(jnp.int32)
+    # votes per run of equal keys, via prefix scans (a vmapped
+    # searchsorted lowers to per-element while loops — ~10x slower on TPU)
     M = keys.shape[1]
+    j_idx = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
     is_start = jnp.concatenate(
         [jnp.ones((B, 1), jnp.bool_), keys[:, 1:] != keys[:, :-1]], axis=1)
+    # index of the next run start strictly after j (reverse exclusive
+    # cumulative min of start positions)
+    start_pos = jnp.where(is_start, j_idx, M)
+    next_start = jax.lax.associative_scan(
+        jnp.minimum, start_pos, axis=1, reverse=True)
+    next_start = jnp.concatenate(
+        [next_start[:, 1:], jnp.full((B, 1), M, jnp.int32)], axis=1)
+    votes = next_start - j_idx  # valid at run starts
     eligible = is_start & (keys != INVALID_KEY)
     score = jnp.where(eligible, votes, -1)
 

@@ -208,6 +208,48 @@ def simulate_db(
     return SimulatedCommunity(species=species, db_dir=out_dir)
 
 
+def write_genome_inputs(community: SimulatedCommunity, out_dir: str) -> str:
+    """Write the per-genome input layout the DB builder consumes
+    (<dir>/<genome_id>/<genome_id>.{fna,ffn,faa} + mapfile), mirroring
+    what the reference's build_midas_db.py expects. Returns the mapfile
+    path."""
+    from midas_tpu.utils import CODON_TABLE
+
+    # any codon per amino acid, for translating gene seqs to proteins
+    aa_to_codon = {}
+    for codon, aa in CODON_TABLE.items():
+        aa_to_codon.setdefault(aa, codon)
+
+    os.makedirs(out_dir, exist_ok=True)
+    mapfile = os.path.join(out_dir, "genomes.mapfile")
+    with open(mapfile, "w") as mf:
+        mf.write("genome_id\tspecies_id\trep_genome\n")
+        for sp in community.species:
+            mf.write(f"{sp.genome_id}\t{sp.species_id}\t1\n")
+            gdir = os.path.join(out_dir, sp.genome_id)
+            os.makedirs(gdir, exist_ok=True)
+            with open(os.path.join(gdir, f"{sp.genome_id}.fna"), "w") as f:
+                for cid, seq in sp.contigs.items():
+                    f.write(f">{cid}\n{seq}\n")
+            with open(os.path.join(gdir, f"{sp.genome_id}.ffn"), "w") as f:
+                for g in sp.genes:
+                    f.write(f">{g['gene_id']}\n{g['seq']}\n")
+            with open(os.path.join(gdir, f"{sp.genome_id}.faa"), "w") as f:
+                for g in sp.genes:
+                    prot = _translate_seq(g["seq"])
+                    f.write(f">{g['gene_id']}\n{prot}\n")
+    return mapfile
+
+
+def _translate_seq(seq: str) -> str:
+    from midas_tpu.utils import CODON_TABLE
+
+    aas = []
+    for i in range(0, len(seq) - len(seq) % 3, 3):
+        aas.append(CODON_TABLE.get(seq[i: i + 3], "X"))
+    return "".join(aas)
+
+
 def simulate_reads(
     community: SimulatedCommunity,
     out_fastq: str,

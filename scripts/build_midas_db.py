@@ -1,0 +1,6 @@
+#!/usr/bin/env python
+"""Reference-compatible shim: scripts/build_midas_db.py -> midas_tpu.cli.build_db"""
+import sys
+from midas_tpu.cli.build_db import main
+if __name__ == "__main__":
+    sys.exit(main())
