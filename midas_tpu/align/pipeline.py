@@ -224,6 +224,18 @@ def _align_batch_device(
     return _postprocess(out, cands, winstart, seq_idx, seq_lo)
 
 
+@jax.jit
+def _pack_result(out: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Stack the 12 [B, C] result planes into one int32 [12, B, C]
+    array so host readback is a single transfer. DP scores are
+    integer-valued (integer match/mismatch/gap parameters), so the
+    int32 round-trip is exact."""
+    planes = [out["valid"].astype(jnp.int32),
+              jnp.round(out["score"]).astype(jnp.int32)]
+    planes += [out[k].astype(jnp.int32) for k in Aligner._PACK_FIELDS[2:]]
+    return jnp.stack(planes)
+
+
 class Aligner:
     """Device-resident aligner bound to one ReferencePack + SeedIndex."""
 
@@ -250,14 +262,24 @@ class Aligner:
         # build time so int32 offsets are exact
         self.pack_offsets = jnp.asarray(pack.offsets.astype(np.int32))
 
+    _PACK_FIELDS = ("valid", "score", "seq_idx", "strand", "tstart", "tend",
+                    "qstart", "qend", "matches", "mismatches", "gap_cols",
+                    "gap_opens")
+
     def align_batch(self, batch: ReadBatch) -> AlignmentResult:
-        dev = self.align_batch_device(
-            jnp.asarray(batch.codes), jnp.asarray(batch.lengths))
-        # block on the whole pytree BEFORE any per-array conversion:
-        # piecewise np.array() on in-flight results hits a multi-minute
-        # slow path in jax 0.9 CPU async dispatch (observed 338s vs 4s)
-        dev = jax.block_until_ready(dev)
-        host = {k: np.array(v) for k, v in jax.device_get(dev).items()}
+        dev = _pack_result(self.align_batch_device(
+            jnp.asarray(batch.codes), jnp.asarray(batch.lengths)))
+        # ONE packed device->host transfer: on a tunneled TPU each D2H
+        # RPC costs ~5 ms, so 12 separate [B, C] pulls were the hot loop
+        packed = np.asarray(jax.device_get(dev))
+        host = {}
+        for i, k in enumerate(self._PACK_FIELDS):
+            arr = packed[i]
+            if k == "valid":
+                arr = arr.astype(bool)
+            elif k == "score":
+                arr = arr.astype(np.float32)
+            host[k] = arr
         # mask out padding rows
         host["valid"][batch.n_reads:] = False
         return AlignmentResult(names=batch.names, n_reads=batch.n_reads, **host)

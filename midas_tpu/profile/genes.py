@@ -13,6 +13,7 @@ genes/summary.txt (write_results :220-245).
 from __future__ import annotations
 
 import os
+import sys
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -25,7 +26,7 @@ from midas_tpu.db.layout import Database
 from midas_tpu.db.refpack import ReferencePack, pack_from_fasta
 from midas_tpu.io.batch import load_read_batches
 from midas_tpu.io.seqio import iopen, parse_file
-from midas_tpu.profile.common import keep_read_mask, pick_best_hits, resolve_species_list
+from midas_tpu.profile.common import resolve_species_list
 
 
 class GenesProfiler:
@@ -70,15 +71,20 @@ class GenesProfiler:
         self.aligner = Aligner(self.pack, self.index, LOCAL_SCORING, sp,
                                max_read_len=max_read_len)
 
-    def run(self, read_paths, max_reads=None, trim=0, batch_size: int = 2048) -> Dict:
+    def run(self, read_paths, max_reads=None, trim=0, batch_size: int = 8192) -> Dict:
+        """Device-resident CNV counting: per-gene accumulators live on
+        device (profile.device_steps.genes_update, donated every batch)
+        and come back once at the end — no per-batch readback."""
+        import jax
+        import jax.numpy as jnp
+
+        from midas_tpu.profile import device_steps as ds
+
         G = self.pack.num_seqs
-        aligned_reads = np.zeros(G, dtype=np.int64)
-        mapped_reads = np.zeros(G, dtype=np.int64)
-        depth = np.zeros(G, dtype=np.float64)
-        gene_len = self.pack.lengths.astype(np.float64)
-        read_length = None
+        al = self.aligner
+        state = ds.genes_init(G)
         for batch in load_read_batches(
-            read_paths, batch_size=batch_size, max_len=self.aligner.max_read_len,
+            read_paths, batch_size=batch_size, max_len=al.max_read_len,
             max_reads=max_reads,
         ):
             if trim:
@@ -86,19 +92,20 @@ class GenesProfiler:
                 batch.lengths = np.maximum(batch.lengths - trim, 0).astype(np.int32)
                 for i in range(batch.codes.shape[0]):
                     batch.codes[i, batch.lengths[i]:] = 4
-            res = self.aligner.align_batch(batch)
-            aligned, best_col, mapqs = pick_best_hits(res, LOCAL_SCORING, batch.lengths)
-            aligned[res.n_reads:] = False
-            rows = np.flatnonzero(aligned)
-            g = res.seq_idx[rows, best_col[rows]]
-            np.add.at(aligned_reads, g, 1)
-            keep = keep_read_mask(res, best_col, batch, mapqs,
-                                  self.mapid, self.readq, self.mapq, self.aln_cov)
-            krows = np.flatnonzero(aligned & keep)
-            gk = res.seq_idx[krows, best_col[krows]]
-            np.add.at(mapped_reads, gk, 1)
-            alen = (res.qend - res.qstart)[krows, best_col[krows]].astype(np.float64)
-            np.add.at(depth, gk, alen / gene_len[gk])
+            state = ds.genes_update(
+                state, al.index_arrays, al.pack_codes, al.pack_offsets,
+                G,
+                jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                jnp.asarray(batch.mean_qual), jnp.int32(batch.n_reads),
+                scoring=LOCAL_SCORING, seed_params=al.seed_params,
+                max_len=al.max_read_len, mapid=float(self.mapid),
+                readq=float(self.readq), min_mapq=int(self.mapq),
+                aln_cov=float(self.aln_cov))
+        host = jax.device_get(state)
+        aligned_reads = np.asarray(host.aligned_reads[:G]).astype(np.int64)
+        mapped_reads = np.asarray(host.mapped_reads[:G]).astype(np.int64)
+        gene_len = self.pack.lengths.astype(np.float64)
+        depth = np.asarray(host.bp[:G]).astype(np.float64) / np.maximum(gene_len, 1.0)
 
         # normalize by median marker depth (genes.py:205-218)
         S = len(self.species_ids)
@@ -184,6 +191,13 @@ def run_genes(args: Dict) -> GenesProfiler:
     os.makedirs(os.path.join(outdir, "genes/output"), exist_ok=True)
     db = Database(args["db"])
     species_ids = resolve_species_list(args, db, "genes")
+    if not species_ids:
+        # reference behavior: exit cleanly when no species pass the
+        # abundance filters (midas/run/species.py:191-227 returns an
+        # empty selection; downstream stages then have nothing to do)
+        sys.exit("\nError: no species satisfied your selection criteria.\n"
+                 "Try running with more lenient parameters "
+                 "(e.g. --species_cov, --species_topn, or --species_id)")
     # stage gating: --build_db alone only persists the species list (the
     # reference's later stages need its BAM intermediates; we have none,
     # so align+count run fused whenever either is requested)

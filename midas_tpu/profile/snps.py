@@ -18,6 +18,7 @@ plus snps/summary.txt (snps_summary :247-262).
 from __future__ import annotations
 
 import os
+import sys
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -31,7 +32,7 @@ from midas_tpu.db.layout import Database
 from midas_tpu.db.refpack import pack_from_fasta
 from midas_tpu.io.batch import load_read_batches
 from midas_tpu.io.seqio import CODE_TO_BASE, iopen
-from midas_tpu.profile.common import keep_read_mask, pick_best_hits, resolve_species_list
+from midas_tpu.profile.common import resolve_species_list
 
 
 class SnpsProfiler:
@@ -65,64 +66,71 @@ class SnpsProfiler:
         self.aligner = Aligner(self.pack, self.index, GLOBAL_SCORING, sp,
                                max_read_len=max_read_len)
 
-    def run(self, read_paths, max_reads=None, trim=0, batch_size: int = 2048) -> Dict:
-        G = self.pack.total_len
-        counts = np.zeros((4, G), dtype=np.int32)
-        S = len(self.species_ids)
-        aligned_reads = np.zeros(S, dtype=np.int64)
-        mapped_reads = np.zeros(S, dtype=np.int64)
-        n_gapped = 0
+    def run(self, read_paths, max_reads=None, trim=0, batch_size: int = 8192,
+            gap_cap: Optional[int] = None) -> Dict:
+        """Device-resident pileup: gapless kept reads scatter-add their
+        base one-hots into a [4, G] device count tensor
+        (profile.device_steps.snps_update, donated each batch); the rare
+        gapped reads spill to a device buffer and get the exact oracle
+        traceback on host once, after the stream ends."""
+        import jax
+        import jax.numpy as jnp
 
+        from midas_tpu.profile import device_steps as ds
+
+        G = self.pack.total_len
+        S = len(self.species_ids)
+        al = self.aligner
+        L = al.max_read_len
+        cap = gap_cap or int(os.environ.get("MIDAS_TPU_GAP_CAP", "131072"))
+        state = ds.snps_init(G, S, cap, L)
+        contig_species = jnp.asarray(self.contig_species)
         for batch in load_read_batches(
-            read_paths, batch_size=batch_size, max_len=self.aligner.max_read_len,
-            max_reads=max_reads,
+            read_paths, batch_size=batch_size, max_len=L, max_reads=max_reads,
         ):
             if trim:
                 batch.lengths = np.maximum(batch.lengths - trim, 0).astype(np.int32)
                 for i in range(batch.codes.shape[0]):
                     batch.codes[i, batch.lengths[i]:] = 4
-            res = self.aligner.align_batch(batch)
-            aligned, best_col, mapqs = pick_best_hits(res, GLOBAL_SCORING, batch.lengths)
-            aligned[res.n_reads:] = False
-            rows = np.flatnonzero(aligned)
-            sp_of = self.contig_species[res.seq_idx[rows, best_col[rows]]]
-            np.add.at(aligned_reads, sp_of, 1)
-            keep = keep_read_mask(res, best_col, batch, mapqs,
-                                  self.mapid, self.readq, self.mapq, self.aln_cov)
-            krows = np.flatnonzero(aligned & keep)
-            np.add.at(mapped_reads,
-                      self.contig_species[res.seq_idx[krows, best_col[krows]]], 1)
+            state = ds.snps_update(
+                state, al.index_arrays, al.pack_codes, al.pack_offsets,
+                contig_species,
+                jnp.asarray(batch.codes), jnp.asarray(batch.quals),
+                jnp.asarray(batch.lengths), jnp.asarray(batch.mean_qual),
+                jnp.int32(batch.n_reads),
+                scoring=GLOBAL_SCORING, seed_params=al.seed_params,
+                max_len=L, mapid=float(self.mapid), readq=float(self.readq),
+                min_mapq=int(self.mapq), baseq=int(self.baseq),
+                aln_cov=float(self.aln_cov))
+        host = jax.device_get(state)
+        counts = np.asarray(host.counts).reshape(4, G + 1)[:, :G].copy()
+        aligned_reads = np.asarray(host.aligned_reads[:S]).astype(np.int64)
+        mapped_reads = np.asarray(host.mapped_reads[:S]).astype(np.int64)
 
-            # strand-adjusted query codes and quals
-            L = batch.codes.shape[1]
-            lens = batch.lengths
-            rc_codes = _revcomp_host(batch.codes, lens)
-            rc_quals = _reverse_host(batch.quals, lens)
-
-            for i in krows:
-                c = best_col[i]
-                strand = res.strand[i, c]
-                q = (rc_codes if strand else batch.codes)[i]
-                qq = (rc_quals if strand else batch.quals)[i]
-                qlen = int(lens[i])
-                seq_lo = int(self.pack.offsets[res.seq_idx[i, c]])
-                tstart, tend = int(res.tstart[i, c]), int(res.tend[i, c])
-                qstart, qend = int(res.qstart[i, c]), int(res.qend[i, c])
-                if res.gap_cols[i, c] == 0:
-                    qpos = np.arange(qstart, qend)
-                    tpos = seq_lo + tstart + (qpos - qstart)
-                else:
-                    n_gapped += 1
-                    lo = max(seq_lo + tstart - 8, 0)
-                    hi = min(seq_lo + tend + 8, G)
-                    window = self.pack.codes[lo:hi]
-                    a = align_oracle(q[:qlen], window, GLOBAL_SCORING)
-                    m = a.qpos_to_tpos(qlen)
-                    qpos = np.flatnonzero(m >= 0)
-                    tpos = lo + m[qpos]
-                base = q[qpos]
-                mask = (qq[qpos] >= self.baseq) & (base < 4)
-                np.add.at(counts, (base[mask], tpos[mask]), 1)
+        # exact host traceback for the spilled gapped reads
+        n_gapped = int(host.gap_n)
+        if n_gapped > cap:
+            raise RuntimeError(
+                f"gapped-read buffer overflow ({n_gapped} > {cap}): "
+                "set MIDAS_TPU_GAP_CAP higher")
+        gap_codes = np.asarray(host.gap_codes[:n_gapped])
+        gap_quals = np.asarray(host.gap_quals[:n_gapped])
+        gap_meta = np.asarray(host.gap_meta[:n_gapped])
+        for r in range(n_gapped):
+            ci, tstart, tend, qlen = (int(x) for x in gap_meta[r])
+            q = gap_codes[r]
+            qq = gap_quals[r]
+            seq_lo = int(self.pack.offsets[ci])
+            lo = max(seq_lo + tstart - 8, 0)
+            hi = min(seq_lo + tend + 8, G)
+            window = self.pack.codes[lo:hi]
+            a = align_oracle(q[:qlen], window, GLOBAL_SCORING)
+            m = a.qpos_to_tpos(qlen)
+            qpos = np.flatnonzero(m >= 0)
+            tpos = lo + m[qpos]
+            base = q[qpos]
+            mask = (qq[qpos] >= self.baseq) & (base < 4)
+            np.add.at(counts, (base[mask], tpos[mask]), 1)
 
         self.counts = counts
         self.stats = dict(aligned_reads=aligned_reads, mapped_reads=mapped_reads,
@@ -181,24 +189,6 @@ class SnpsProfiler:
         return summaries
 
 
-def _revcomp_host(codes: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    B, L = codes.shape
-    out = np.full_like(codes, 4)
-    for i in range(B):
-        n = int(lens[i])
-        seg = codes[i, :n]
-        out[i, :n] = np.where(seg < 4, 3 - seg, 4)[::-1]
-    return out
-
-
-def _reverse_host(quals: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    out = np.zeros_like(quals)
-    for i in range(quals.shape[0]):
-        n = int(lens[i])
-        out[i, :n] = quals[i, :n][::-1]
-    return out
-
-
 def _count_fasta_records(path: str) -> int:
     from midas_tpu.io.seqio import read_fastx
     with iopen(path) as fp:
@@ -213,6 +203,10 @@ def run_snps(args: Dict) -> SnpsProfiler:
     os.makedirs(os.path.join(outdir, "snps/output"), exist_ok=True)
     db = Database(args["db"])
     species_ids = resolve_species_list(args, db, "snps")
+    if not species_ids:
+        sys.exit("\nError: no species satisfied your selection criteria.\n"
+                 "Try running with more lenient parameters "
+                 "(e.g. --species_cov, --species_topn, or --species_id)")
     if args.get("build_db") and not (args.get("align") or args.get("call")):
         return None
     profiler = SnpsProfiler(

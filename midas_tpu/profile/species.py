@@ -81,63 +81,36 @@ class SpeciesProfiler:
         read_paths,
         read_length: Optional[int] = None,
         max_reads: Optional[int] = None,
-        batch_size: int = 2048,
+        batch_size: int = 8192,
         m8_path: Optional[str] = None,
     ) -> Dict:
         """Align + classify all reads. Returns the abundance dict:
-        species_id -> {count, cov, rel_abun}."""
-        n_species = len(self.species_order)
-        unique_count = np.zeros(n_species, dtype=np.int64)
-        unique_bp = np.zeros(n_species, dtype=np.float64)
-        ambiguous: List[Tuple[np.ndarray, np.ndarray]] = []  # (species_idx[], bp[])
-        total_reads = 0
-        total_bp = 0
-        total_alns = 0
-        m8 = open(m8_path, "w") if m8_path else None
+        species_id -> {count, cov, rel_abun}.
 
-        for batch in load_read_batches(
-            read_paths, batch_size=batch_size, max_len=self.aligner.max_read_len,
-            read_length=read_length, max_reads=max_reads,
-        ):
-            total_reads += batch.n_reads
-            total_bp += int(batch.lengths[: batch.n_reads].sum())
-            res = self.aligner.align_batch(batch)
-            pid = res.blast_pid
-            aln = res.aln_cols
-            cutoff = self.seq_cutoff[np.clip(res.seq_idx, 0, len(self.seq_cutoff) - 1)]
-            qlens = np.asarray(batch.lengths)[:, None]
-            qcov = aln / np.maximum(qlens, 1)
-            keep = (
-                res.valid
-                & (res.score > 0)
-                & (pid >= cutoff)
-                & (qcov >= self.aln_cov)
-            )
-            total_alns += int(res.valid.sum())
-            if m8 is not None:
-                self._write_m8(m8, batch, res)
-            scores = np.where(keep, res.score, -np.inf)
-            best = scores.max(axis=1)
-            has_hit = np.isfinite(best)
-            best_mask = keep & (scores == best[:, None])
-            n_best = best_mask.sum(axis=1)
-            sp_of = self.seq_species[np.clip(res.seq_idx, 0, len(self.seq_species) - 1)]
-            for i in np.flatnonzero(has_hit[: batch.n_reads]):
-                cols = np.flatnonzero(best_mask[i])
-                if n_best[i] == 1:
-                    c = cols[0]
-                    unique_count[sp_of[i, c]] += 1
-                    unique_bp[sp_of[i, c]] += aln[i, c]
-                else:
-                    ambiguous.append((sp_of[i, cols], aln[i, cols]))
-        if m8 is not None:
-            m8.close()
+        Without m8 output the classifier runs entirely on device
+        (profile.device_steps.species_update): per-species unique
+        counts/bp accumulate in donated device state and only ambiguous
+        best-hit sets (which go through the reference's host RNG
+        assignment, species.py:104-119) come back — once, at the end.
+        With m8_path the full alignment results are needed on host for
+        the outfmt-6 rows, so the host classifier runs instead; both
+        paths produce identical abundances (tested)."""
+        if m8_path is None:
+            unique_count, unique_bp, ambiguous = self._run_device(
+                read_paths, read_length, max_reads, batch_size)
+        else:
+            unique_count, unique_bp, ambiguous = self._run_host(
+                read_paths, read_length, max_reads, batch_size, m8_path)
+        n_species = len(self.species_order)
 
         # probabilistic assignment of ambiguous reads (species.py:104-119)
         rng = np.random.RandomState(self.seed)
         pyrng = random.Random(self.seed)
         count = unique_count.copy()
         bp = unique_bp.copy()
+        total_reads = self.stats["total_reads"]  # set by _run_*
+        total_bp = self.stats["total_bp"]
+        total_alns = self.stats["total_alns"]
         for sp_ids, alns in ambiguous:
             weights = unique_count[sp_ids].astype(np.float64)
             if weights.sum() == 0:
@@ -160,9 +133,104 @@ class SpeciesProfiler:
                 "cov": float(cov[i]),
                 "rel_abun": float(rel[i]) if total_cov > 0 else 0,
             }
+        return abundance
+
+    def _run_host(self, read_paths, read_length, max_reads, batch_size,
+                  m8_path) -> Tuple[np.ndarray, np.ndarray, List]:
+        """Host-side classifier (full alignment readback; needed for m8
+        output). Semantics: species.py:64-119."""
+        n_species = len(self.species_order)
+        unique_count = np.zeros(n_species, dtype=np.int64)
+        unique_bp = np.zeros(n_species, dtype=np.float64)
+        ambiguous: List[Tuple[np.ndarray, np.ndarray]] = []
+        total_reads = total_bp = total_alns = 0
+        with open(m8_path, "w") as m8:
+            for batch in load_read_batches(
+                read_paths, batch_size=batch_size,
+                max_len=self.aligner.max_read_len,
+                read_length=read_length, max_reads=max_reads,
+            ):
+                total_reads += batch.n_reads
+                total_bp += int(batch.lengths[: batch.n_reads].sum())
+                res = self.aligner.align_batch(batch)
+                pid = res.blast_pid
+                aln = res.aln_cols
+                cutoff = self.seq_cutoff[
+                    np.clip(res.seq_idx, 0, len(self.seq_cutoff) - 1)]
+                qlens = np.asarray(batch.lengths)[:, None]
+                qcov = aln / np.maximum(qlens, 1)
+                keep = (res.valid & (res.score > 0) & (pid >= cutoff)
+                        & (qcov >= self.aln_cov))
+                total_alns += int(res.valid.sum())
+                self._write_m8(m8, batch, res)
+                scores = np.where(keep, res.score, -np.inf)
+                best = scores.max(axis=1)
+                has_hit = np.isfinite(best)
+                best_mask = keep & (scores == best[:, None])
+                n_best = best_mask.sum(axis=1)
+                sp_of = self.seq_species[
+                    np.clip(res.seq_idx, 0, len(self.seq_species) - 1)]
+                for i in np.flatnonzero(has_hit[: batch.n_reads]):
+                    cols = np.flatnonzero(best_mask[i])
+                    if n_best[i] == 1:
+                        c = cols[0]
+                        unique_count[sp_of[i, c]] += 1
+                        unique_bp[sp_of[i, c]] += aln[i, c]
+                    else:
+                        ambiguous.append((sp_of[i, cols], aln[i, cols]))
         self.stats = dict(total_reads=total_reads, total_bp=total_bp,
                           total_alns=total_alns)
-        return abundance
+        return unique_count, unique_bp, ambiguous
+
+    def _run_device(self, read_paths, read_length, max_reads, batch_size,
+                    amb_cap: Optional[int] = None
+                    ) -> Tuple[np.ndarray, np.ndarray, List]:
+        """Device-resident classifier: one jit per batch, accumulators
+        donated across batches, no per-batch readback."""
+        import jax
+        import jax.numpy as jnp
+
+        from midas_tpu.profile import device_steps as ds
+
+        n_species = len(self.species_order)
+        cap = amb_cap or int(os.environ.get("MIDAS_TPU_AMB_CAP", "262144"))
+        al = self.aligner
+        state = ds.species_init(n_species, al.seed_params.num_cands, cap)
+        seq_species = jnp.asarray(self.seq_species)
+        seq_cutoff = jnp.asarray(self.seq_cutoff)
+        total_reads = total_bp = 0
+        for batch in load_read_batches(
+            read_paths, batch_size=batch_size,
+            max_len=al.max_read_len,
+            read_length=read_length, max_reads=max_reads,
+        ):
+            total_reads += batch.n_reads
+            total_bp += int(batch.lengths[: batch.n_reads].sum())
+            state = ds.species_update(
+                state, al.index_arrays, al.pack_codes, al.pack_offsets,
+                seq_species, seq_cutoff,
+                jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                jnp.int32(batch.n_reads),
+                scoring=al.scoring, seed_params=al.seed_params,
+                max_len=al.max_read_len, aln_cov=float(self.aln_cov),
+                n_species=n_species)
+        host = jax.device_get(state)
+        amb_n = int(host.amb_n)
+        if amb_n > cap:
+            raise RuntimeError(
+                f"ambiguous-read buffer overflow ({amb_n} > {cap}): "
+                "set MIDAS_TPU_AMB_CAP higher")
+        unique_count = np.asarray(host.uniq_count[:n_species]).astype(np.int64)
+        unique_bp = np.asarray(host.uniq_bp[:n_species]).astype(np.float64)
+        ambiguous = []
+        amb_sp = np.asarray(host.amb_sp[:amb_n])
+        amb_bp = np.asarray(host.amb_bp[:amb_n])
+        for r in range(amb_n):
+            cols = np.flatnonzero(amb_sp[r] >= 0)
+            ambiguous.append((amb_sp[r, cols], amb_bp[r, cols].astype(np.float64)))
+        self.stats = dict(total_reads=total_reads, total_bp=total_bp,
+                          total_alns=int(host.total_alns))
+        return unique_count, unique_bp, ambiguous
 
     def _write_m8(self, fh, batch, res: AlignmentResult) -> None:
         """BLAST outfmt-6-compatible rows for passing candidates, with the
@@ -266,7 +334,10 @@ def run_species(args: Dict) -> Dict:
     paths = [args["m1"]]
     if args.get("m2"):
         paths.append(args["m2"])
-    m8_path = os.path.join(outdir, "species/temp/alignments.m8")
+    # --remove_temp deletes alignments.m8 right after the run anyway;
+    # skipping it keeps the whole classifier on device (fast path)
+    m8_path = (None if args.get("remove_temp")
+               else os.path.join(outdir, "species/temp/alignments.m8"))
     abundance = profiler.run(
         paths, read_length=args.get("read_length"),
         max_reads=args.get("max_reads"), m8_path=m8_path,
