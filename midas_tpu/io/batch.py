@@ -77,10 +77,29 @@ def load_read_batches(
 ) -> Iterator[ReadBatch]:
     """Stream FASTA/FASTQ file(s) into fixed-shape batches.
 
-    Applies the reference trim/cap semantics (stream_seqs.py:43-65) via
-    stream_reads, then rectangularizes. The final batch is zero-padded
-    to the same static shape so jit traces once.
+    Applies the reference trim/cap semantics (stream_seqs.py:43-65),
+    then rectangularizes. The final batch is zero-padded to the same
+    static shape so jit traces once.
+
+    Parsing runs through the native C++ reader (io/native.py) when it
+    is available — the pure-Python readfq path below tops out around
+    50k reads/s, an order of magnitude under the device's consumption
+    rate — with identical record semantics (tested against each other).
     """
+    import os as _os
+
+    path_list = ([str(paths)] if isinstance(paths, (str, _os.PathLike))
+                 else [str(p) for p in paths])
+    if not any(p.endswith(".bz2") for p in path_list):
+        from midas_tpu.io.native import NativeBatcher, load_native
+
+        lib = load_native()
+        if lib is not None:
+            for names, codes, lengths, quals, mean_qual, n in NativeBatcher(
+                lib, path_list, batch_size, max_len, read_length, max_reads,
+            ):
+                yield ReadBatch(names, codes, lengths, quals, mean_qual, n)
+            return
     buf: List[Tuple[str, str, Optional[str]]] = []
     for rec in stream_reads(paths, read_length=read_length, max_reads=max_reads):
         buf.append(rec)

@@ -311,12 +311,16 @@ def select_species(
         species_sets.append(set(species_id))
     if not species_sets:
         return []
-    my_species = list(set.intersection(*species_sets))
+    # sorted so the pack layout — and with it argmax tie-breaking among
+    # equally-scoring hits — is independent of PYTHONHASHSEED; the
+    # reference's unsorted list(set) makes its genes output run-order
+    # dependent in the same way its RNG is unseeded (species.py:113-117)
+    my_species = sorted(set.intersection(*species_sets))
     for bad in db.excluded_species():
         if bad in my_species:
             my_species.remove(bad)
     if not my_species:
-        sys.exit("\nError: no species sastisfied your selection criteria. \n")
+        sys.exit("\nError: no species satisfied your selection criteria.\n")
     return my_species
 
 
