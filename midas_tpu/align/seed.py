@@ -148,12 +148,21 @@ def find_candidates(
     is_start = jnp.concatenate(
         [jnp.ones((B, 1), jnp.bool_), keys[:, 1:] != keys[:, :-1]], axis=1)
     # index of the next run start strictly after j (reverse exclusive
-    # cumulative min of start positions)
+    # cumulative min of start positions), computed as an explicit
+    # log-doubling suffix min: lax.associative_scan here makes TPU XLA
+    # compile superlinearly in B*M when composed with the hit-gather
+    # producer above (measured 100s+ at B=1024, M=1088 — vs 3s for the
+    # unrolled doubling, which computes the identical result)
     start_pos = jnp.where(is_start, j_idx, M)
-    next_start = jax.lax.associative_scan(
-        jnp.minimum, start_pos, axis=1, reverse=True)
     next_start = jnp.concatenate(
-        [next_start[:, 1:], jnp.full((B, 1), M, jnp.int32)], axis=1)
+        [start_pos[:, 1:], jnp.full((B, 1), M, jnp.int32)], axis=1)
+    shift = 1
+    while shift < M:
+        shifted = jnp.concatenate(
+            [next_start[:, shift:], jnp.full((B, shift), M, jnp.int32)],
+            axis=1)
+        next_start = jnp.minimum(next_start, shifted)
+        shift *= 2
     votes = next_start - j_idx  # valid at run starts
     eligible = is_start & (keys != INVALID_KEY)
     score = jnp.where(eligible, votes, -1)

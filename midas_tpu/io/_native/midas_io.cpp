@@ -24,8 +24,9 @@
 //                         int8_t* codes, int8_t* quals,
 //                         int32_t* lengths, float* mean_qual,
 //                         char* names, long names_cap, int32_t* status)
-//          -> reads written; -1 = error; -2 = a single name exceeds
-//             names_cap (grow and retry; nothing was consumed).
+//          -> reads written; -1 = error (bad handle or corrupt gzip
+//             stream); -2 = a single name exceeds names_cap (the parsed
+//             record is held pending — grow the buffer and retry).
 //          status: 0 = batch filled, 1 = stream exhausted (EOF or
 //          max_reads), 2 = stopped early because names filled up (a
 //          parsed record is held pending for the next call).
@@ -48,6 +49,7 @@ struct LineReader {
   std::vector<char> buf;
   size_t pos = 0, len = 0;
   bool eof = false;
+  bool err = false;  // corrupt/truncated gzip stream (gzread < 0)
 
   explicit LineReader(const char* path) : buf(1 << 20) {
     f = gzopen(path, "rb");
@@ -61,6 +63,11 @@ struct LineReader {
     if (eof) return false;
     int n = gzread(f, buf.data(), (unsigned)buf.size());
     if (n <= 0) {
+      if (n < 0) {
+        int zerrno = 0;
+        gzerror(f, &zerrno);
+        err = true;  // real stream error, not EOF — propagate, don't truncate
+      }
       eof = true;
       return false;
     }
@@ -69,18 +76,23 @@ struct LineReader {
     return true;
   }
 
-  // Append the next line (without '\n') to out. Returns false at EOF
-  // with nothing read.
+  // Append the next line (without '\n'; a trailing '\r' is stripped so
+  // CRLF input matches the text-mode universal-newline Python parsers)
+  // to out. Returns false at EOF with nothing read.
   bool getline(std::string& out) {
     out.clear();
     bool any = false;
     for (;;) {
-      if (pos >= len && !fill()) return any;
+      if (pos >= len && !fill()) {
+        if (any && !out.empty() && out.back() == '\r') out.pop_back();
+        return any;
+      }
       char* start = buf.data() + pos;
       char* nl = (char*)memchr(start, '\n', len - pos);
       if (nl) {
         out.append(start, nl - start);
         pos = (size_t)(nl - buf.data()) + 1;
+        if (!out.empty() && out.back() == '\r') out.pop_back();
         return true;
       }
       out.append(start, len - pos);
@@ -200,6 +212,7 @@ long mio_next_batch(void* h, long B, long L, int8_t* codes, int8_t* quals,
         break;
       }
       if (!r->next(name, s, q, has_qual)) {
+        if (r->lr.err) return -1;  // corrupt gzip stream, not EOF
         *status = 1;
         break;
       }
@@ -210,12 +223,14 @@ long mio_next_batch(void* h, long B, long L, int8_t* codes, int8_t* quals,
       }
     }
     if (npos + (long)name.size() + 1 > names_cap) {
-      if (nb == 0) return -2;  // caller must grow the names buffer
+      // The record has already been consumed from the stream — stash it
+      // so it is emitted on the retry / next call instead of dropped.
       r->p_name.swap(name);
       r->p_seq.swap(s);
       r->p_qual.swap(q);
       r->p_has_qual = has_qual;
       r->has_pending = true;
+      if (nb == 0) return -2;  // caller must grow the names buffer
       *status = 2;
       break;
     }

@@ -101,7 +101,8 @@ def load_read_batches(
                 yield ReadBatch(names, codes, lengths, quals, mean_qual, n)
             return
     buf: List[Tuple[str, str, Optional[str]]] = []
-    for rec in stream_reads(paths, read_length=read_length, max_reads=max_reads):
+    for rec in stream_reads(path_list, read_length=read_length,
+                            max_reads=max_reads):
         buf.append(rec)
         if len(buf) == batch_size:
             yield batch_reads(buf, batch_size, max_len)

@@ -60,14 +60,17 @@ def read_fastx(fp: IO) -> Iterator[Tuple[str, str, Optional[str]]]:
 
     Same grammar as the lh3 readfq parser the reference embeds
     (stream_seqs.py:10-41): multi-line FASTA, 4-line or multi-line
-    FASTQ, qual=None for FASTA.
+    FASTQ, qual=None for FASTA. One deliberate divergence: readfq's
+    blind `line[:-1]` drops the last base of a final line with no
+    trailing newline; here (and in the native reader) the full line is
+    kept — the newline-strip is explicit.
     """
     last = None
     while True:
         if not last:
             for line in fp:
                 if line and line[0] in ">@":
-                    last = line[:-1]
+                    last = line.rstrip("\n")
                     break
         if not last:
             break
@@ -75,9 +78,9 @@ def read_fastx(fp: IO) -> Iterator[Tuple[str, str, Optional[str]]]:
         seqs, last = [], None
         for line in fp:
             if line and line[0] in "@+>":
-                last = line[:-1]
+                last = line.rstrip("\n")
                 break
-            seqs.append(line[:-1])
+            seqs.append(line.rstrip("\n"))
         if not last or last[0] != "+":
             yield name, "".join(seqs), None
             if not last:
@@ -85,8 +88,9 @@ def read_fastx(fp: IO) -> Iterator[Tuple[str, str, Optional[str]]]:
         else:
             seq, leng, quals = "".join(seqs), 0, []
             for line in fp:
-                quals.append(line[:-1])
-                leng += len(line) - 1
+                q = line.rstrip("\n")
+                quals.append(q)
+                leng += len(q)
                 if leng >= len(seq):
                     last = None
                     yield name, seq, "".join(quals)

@@ -122,16 +122,20 @@ class SpeciesProfiler:
             count[sp_ids[j]] += 1
             bp[sp_ids[j]] += alns[j]
 
-        # normalize (species.py:141-163)
+        # normalize (species.py:141-163). total_cov is a sequential
+        # Python-float sum in species_info order — the reference sums a
+        # dict built in that order (species.py:158-160), and matching the
+        # accumulation order makes relative_abundance byte-identical
         cov = np.where(self.total_gene_length > 0, bp / np.maximum(self.total_gene_length, 1), 0.0)
-        total_cov = cov.sum()
-        rel = cov / total_cov if total_cov > 0 else np.zeros_like(cov)
+        total_cov = 0.0
+        for i in range(len(self.species_order)):
+            total_cov += float(cov[i])
         abundance = {}
         for i, sid in enumerate(self.species_order):
             abundance[sid] = {
                 "count": int(count[i]),
                 "cov": float(cov[i]),
-                "rel_abun": float(rel[i]) if total_cov > 0 else 0,
+                "rel_abun": float(cov[i]) / total_cov if total_cov > 0 else 0,
             }
         return abundance
 

@@ -1,0 +1,139 @@
+"""Helpers to run the REFERENCE MIDAS species pipeline as a golden
+oracle, driving the real bundled `hs-blastn` binary
+(/root/reference/bin/Linux/hs-blastn) plus the reference's own Python
+classifier (midas/run/species.py). Used by test_golden_hsblastn.py to
+prove the BASELINE bit-identical-output contract.
+
+Biopython is not installed in this environment; the reference only uses
+Bio.SeqIO.parse for FASTA ids, so a minimal shim is injected before
+importing the reference package.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import types
+
+REF_ROOT = "/root/reference"
+HSBLASTN = os.path.join(REF_ROOT, "bin", "Linux", "hs-blastn")
+
+_STREAM_WRAP = """\
+import sys, types
+bio = types.ModuleType("Bio"); seqio = types.ModuleType("Bio.SeqIO")
+seqio.parse = lambda *a, **k: iter(())
+bio.SeqIO = seqio
+sys.modules["Bio"] = bio; sys.modules["Bio.SeqIO"] = seqio
+sys.path.insert(0, {ref_root!r})
+import runpy
+runpy.run_path({stream_seqs!r}, run_name="__main__")
+"""
+
+
+def hsblastn_available() -> bool:
+    return os.path.isfile(HSBLASTN) and os.access(HSBLASTN, os.X_OK)
+
+
+def _install_bio_shim() -> None:
+    if "Bio" in sys.modules:
+        return
+
+    class _Rec:
+        def __init__(self, rid, seq):
+            self.id = rid
+            self.seq = seq
+            self.description = rid
+
+    def _parse(path, fmt):
+        assert fmt == "fasta"
+        rid, chunks = None, []
+        with open(path) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if line.startswith(">"):
+                    if rid is not None:
+                        yield _Rec(rid, "".join(chunks))
+                    rid, chunks = line[1:].split()[0], []
+                else:
+                    chunks.append(line)
+        if rid is not None:
+            yield _Rec(rid, "".join(chunks))
+
+    bio = types.ModuleType("Bio")
+    seqio = types.ModuleType("Bio.SeqIO")
+    seqio.parse = _parse
+    bio.SeqIO = seqio
+    sys.modules["Bio"] = bio
+    sys.modules["Bio.SeqIO"] = seqio
+
+
+def ensure_hsblastn_index(db_dir: str) -> None:
+    """`hs-blastn index` over marker_genes/phyeco.fa (writes ~400 MB of
+    FMD-index files next to it; skipped when already present)."""
+    fa = os.path.join(db_dir, "marker_genes", "phyeco.fa")
+    if os.path.exists(fa + ".bwt"):
+        return
+    subprocess.run([HSBLASTN, "index", fa], check=True,
+                   capture_output=True, timeout=300)
+
+
+def run_reference_species(db_dir: str, reads: str, outdir: str,
+                          seed: int = 42, tmpdir: str = None) -> str:
+    """Run the reference species pipeline (stream_seqs | hs-blastn |
+    find_best_hits/assign/normalize, midas/run/species.py:229-269)
+    in-process against the real binary. Returns the profile path."""
+    _install_bio_shim()
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    import random
+
+    import numpy as np
+
+    from midas.run import species  # the REFERENCE package
+
+    np.random.seed(seed)
+    random.seed(seed)
+
+    wrap_dir = tmpdir or outdir
+    os.makedirs(wrap_dir, exist_ok=True)
+    wrap = os.path.join(wrap_dir, "stream_wrap.py")
+    with open(wrap, "w") as f:
+        f.write(_STREAM_WRAP.format(
+            ref_root=REF_ROOT,
+            stream_seqs=os.path.join(REF_ROOT, "midas/run/stream_seqs.py")))
+
+    os.makedirs(os.path.join(outdir, "species/temp"), exist_ok=True)
+    log = open(os.path.join(outdir, "log.txt"), "w")
+    try:
+        species.run_pipeline({
+            "db": db_dir, "outdir": outdir, "m1": reads, "m2": None,
+            "max_reads": None, "read_length": None, "word_size": 28,
+            "mapid": None, "aln_cov": 0.75, "threads": 1,
+            "remove_temp": False, "stream_seqs": wrap,
+            "hs-blastn": HSBLASTN, "log": log,
+        })
+    finally:
+        log.close()
+    return os.path.join(outdir, "species/species_profile.txt")
+
+
+def parse_best_hits(m8_path: str, cutoffs: dict, marker_info: dict,
+                    aln_cov: float = 0.75) -> dict:
+    """The reference's find_best_hits semantics (species.py:64-85):
+    per-marker %id cutoff + query coverage, then top score with ties.
+    Returns {query: (score, frozenset(targets))}."""
+    best = {}
+    for line in open(m8_path):
+        f = line.split()
+        q, t, pid, aln, score = f[0], f[1], float(f[2]), int(f[3]), float(f[11])
+        qlen = int(q.rsplit("_", 1)[1])
+        if pid < cutoffs[marker_info[t]["marker_id"]]:
+            continue
+        if aln / qlen < aln_cov:
+            continue
+        if q not in best or score > best[q][0]:
+            best[q] = (score, {t})
+        elif score == best[q][0]:
+            best[q][1].add(t)
+    return {q: (s, frozenset(ts)) for q, (s, ts) in best.items()}

@@ -106,3 +106,49 @@ def test_names_buffer_growth(tmp_path):
     native, python = _both(str(p), batch_size=512, max_len=8)
     _assert_equal(native, python)
     assert sum(b.n_reads for b in native) == 600
+
+
+def test_giant_first_name_not_dropped(tmp_path):
+    # regression: a first-record name larger than the whole names buffer
+    # used to be parsed, then dropped on the grow-and-retry (-2) path
+    p = tmp_path / "giant.fq"
+    p.write_text(f"@{'y' * 2000}\nACGT\n+\nIIII\n@b\nGGCC\n+\nIIII\n")
+    native, python = _both(str(p), batch_size=4, max_len=8)
+    _assert_equal(native, python)
+    assert sum(b.n_reads for b in native) == 2
+    assert native[0].names[0] == "y" * 2000
+
+
+def test_crlf_input_matches_python(tmp_path):
+    # CRLF (Windows) line endings: text-mode Python strips them via
+    # universal newlines; the native reader must strip the '\r' too
+    p = tmp_path / "crlf.fq"
+    p.write_bytes(b"@a\r\nACGT\r\n+\r\nIIII\r\n@b\r\nGGCC\r\n+\r\nJJJJ\r\n")
+    native, python = _both(str(p), batch_size=4, max_len=8)
+    _assert_equal(native, python)
+    assert native[0].lengths[0] == 4
+    assert native[0].codes[0, 3] == 3  # 'T', not a '\r' sentinel
+
+
+def test_no_trailing_newline_keeps_last_base(tmp_path):
+    # contract: the full final line is kept (explicit newline strip),
+    # unlike readfq's blind line[:-1]
+    p = tmp_path / "nonl.fa"
+    with open(p, "w") as f:
+        f.write(">a\nACGT")  # no trailing newline
+    native, python = _both(str(p), batch_size=2, max_len=8)
+    _assert_equal(native, python)
+    assert native[0].lengths[0] == 4
+
+
+def test_corrupt_gzip_raises(tmp_path):
+    # a damaged .gz must raise, not silently truncate the read set
+    good = tmp_path / "good.fq.gz"
+    with gzip.open(good, "wt") as f:
+        for i in range(200):
+            f.write(f"@r{i}\nACGTACGTACGT\n+\nIIIIIIIIIIII\n")
+    data = good.read_bytes()
+    bad = tmp_path / "bad.fq.gz"
+    bad.write_bytes(data[: len(data) // 2] + b"\x00garbage\x00" * 20)
+    with pytest.raises(Exception):
+        list(iob.load_read_batches(str(bad), batch_size=64, max_len=16))
