@@ -34,6 +34,10 @@ def species_parser(subs):
                    help="Path to reference database. By default, the MIDAS_DB environmental variable is used")
     p.add_argument("--remove_temp", default=False, action="store_true",
                    help="Remove temporary files, including BLAST-like output")
+    p.add_argument("--m8", default=False, action="store_true",
+                   help="Write BLAST outfmt-6 alignments to species/temp/alignments.m8 "
+                        "(forces per-batch host readback; default keeps the classifier "
+                        "fully device-resident)")
     p.add_argument("--word_size", type=int, metavar="INT", default=28,
                    help="Accepted for compatibility (seeding uses the k-mer index)")
     p.add_argument("--mapid", type=float, metavar="FLOAT",
@@ -136,6 +140,128 @@ def build_parser():
     return parser
 
 
+def write_readme(program: str, args: dict) -> None:
+    """Self-documenting readme.txt into <outdir>/<program>/ describing
+    the output files and formats (scripts/run_midas.py:630-746 — this
+    text IS the output-format contract, reproduced for compatibility)."""
+    db = args.get("db")
+    texts = {
+        "species": f"""
+Description of output files and file formats from 'run_midas species'
+
+Output files
+############
+species_profile.txt
+  tab-delimited with header
+  each line contains the abundance values for 1 species
+  sorted by decreasing relative abundance
+log.txt
+  log file containing parameters used
+temp
+  directory of intermediate files
+  run with `--remove_temp` to remove these files
+
+Output formats
+############
+species_profile.txt
+  species_id: species identifier
+  count_reads: number of reads mapped to marker genes
+  coverage: estimated genome-coverage (i.e. read-depth) of species in metagenome
+  relative_abundance: estimated relative abundance of species in metagenome
+
+Additional information for each species can be found in the reference database:
+ {db}/marker_genes
+""",
+        "genes": f"""
+Description of output files and file formats from 'run_midas genes'
+
+Output files
+############
+output
+  directory of per-species output files
+  files are tab-delimited, gzip-compressed, with header
+  naming convention of each file is: {{SPECIES_ID}}.genes.gz
+species.txt
+  list of species_ids included in local database
+summary.txt
+  tab-delimited with header
+  summarizes alignment results per-species
+log.txt
+  log file containing parameters used
+temp
+  directory of intermediate files
+  run with `--remove_temp` to remove these files
+
+Output formats
+############
+output/{{SPECIES_ID}}.genes.gz
+  gene_id: id of non-redundant gene used for read mapping; 'peg' and 'rna' indicate coding & RNA genes respectively
+  count_reads: number of aligned reads to gene_id after quality filtering
+  coverage: average read-depth of gene_id based on aligned reads (# aligned bp / gene length in bp)
+  copy_number: estimated copy-number of gene_id based on aligned reads (coverage of gene_id / median coverage of 15 universal single copy genes)
+
+summary.txt
+  species_id: species id
+  pangenome_size: number of non-redundant genes in reference pan-genome
+  covered_genes: number of genes with at least 1 mapped read
+  fraction_covered: proportion of genes with at least 1 mapped read
+  mean_coverage: average read-depth across genes with at least 1 mapped read
+  marker_coverage: median read-depth across 15 universal single copy genes
+  aligned_reads: number of aligned reads BEFORE quality filtering
+  mapped_reads: number of aligned reads AFTER quality filtering
+
+Additional information for each species can be found in the reference database:
+ {db}/pan_genomes
+""",
+        "snps": f"""
+Description of output files and file formats from 'run_midas snps'
+
+Output files
+############
+output
+  directory of per-species output files
+  files are tab-delimited, gzip-compressed, with header
+  naming convention of each file is: {{SPECIES_ID}}.snps.gz
+species.txt
+  list of species_ids included in local database
+summary.txt
+  tab-delimited with header
+  summarizes alignment results per-species
+log.txt
+  log file containing parameters used
+temp
+  directory of intermediate files
+  run with `--remove_temp` to remove these files
+
+Output formats
+############
+output/{{SPECIES_ID}}.snps.gz
+  ref_id: id of reference scaffold/contig/genome
+  ref_pos: position in ref_id (1-indexed)
+  ref_allele: reference nucleotide
+  depth: number of mapped reads
+  count_a: count of A allele
+  count_c: count of C allele
+  count_g: count of G allele
+  count_t: count of T allele
+
+summary.txt
+  species_id: species id
+  genome_length: number of base pairs in representative genome
+  covered_bases: number of reference sites with at least 1 mapped read
+  fraction_covered: proportion of reference sites with at least 1 mapped read
+  mean_coverage: average read-depth across reference sites with at least 1 mapped read
+  aligned_reads: number of aligned reads BEFORE quality filtering
+  mapped_reads: number of aligned reads AFTER quality filtering
+
+Additional information for each species can be found in the reference database:
+ {db}/rep_genomes
+""",
+    }
+    with open(os.path.join(args["outdir"], program, "readme.txt"), "w") as f:
+        f.write(texts[program])
+
+
 def _setup_outdir(args: dict, program: str):
     outdir = args["outdir"]
     os.makedirs(outdir, exist_ok=True)
@@ -164,6 +290,7 @@ def main(argv=None):
                 args[k] = True
     log = _setup_outdir(args, program)
     args["log"] = log
+    write_readme(program, args)
     start = time()
     try:
         if program == "species":

@@ -331,28 +331,36 @@ def select_species(
 def run_species(args: Dict) -> Dict:
     """Pipeline driver with the reference's output layout
     (species.py:229-269): <outdir>/species/{species_profile.txt,
-    temp/alignments.m8, temp/read_count.txt}."""
+    temp/alignments.m8 (--m8 only), temp/read_count.txt}.
+
+    The default path keeps the whole classifier device-resident (no
+    per-batch readback). `--m8` opts into writing BLAST outfmt-6 rows,
+    which requires pulling every alignment back to the host."""
+    from midas_tpu.utils import stage_timer
+
     outdir = args["outdir"]
+    log = args.get("log")
     os.makedirs(os.path.join(outdir, "species/temp"), exist_ok=True)
-    db = Database(args["db"])
-    profiler = SpeciesProfiler(
-        db, mapid=args.get("mapid"), aln_cov=args.get("aln_cov", 0.75),
-        seed=args.get("seed", 42),
-    )
+    with stage_timer("Loading marker-gene database", log):
+        db = Database(args["db"])
+        profiler = SpeciesProfiler(
+            db, mapid=args.get("mapid"), aln_cov=args.get("aln_cov", 0.75),
+            seed=args.get("seed", 42),
+        )
     paths = [args["m1"]]
     if args.get("m2"):
         paths.append(args["m2"])
-    # --remove_temp deletes alignments.m8 right after the run anyway;
-    # skipping it keeps the whole classifier on device (fast path)
-    m8_path = (None if args.get("remove_temp")
-               else os.path.join(outdir, "species/temp/alignments.m8"))
-    abundance = profiler.run(
-        paths, read_length=args.get("read_length"),
-        max_reads=args.get("max_reads"), m8_path=m8_path,
-    )
-    with open(os.path.join(outdir, "species/temp/read_count.txt"), "w") as f:
-        f.write(f"{profiler.stats['total_reads']}\t{profiler.stats['total_bp']}")
-    write_abundance(os.path.join(outdir, "species/species_profile.txt"), abundance)
+    m8_path = (os.path.join(outdir, "species/temp/alignments.m8")
+               if args.get("m8") and not args.get("remove_temp") else None)
+    with stage_timer("Aligning reads to marker-genes database", log):
+        abundance = profiler.run(
+            paths, read_length=args.get("read_length"),
+            max_reads=args.get("max_reads"), m8_path=m8_path,
+        )
+    with stage_timer("Estimating species abundance", log):
+        with open(os.path.join(outdir, "species/temp/read_count.txt"), "w") as f:
+            f.write(f"{profiler.stats['total_reads']}\t{profiler.stats['total_bp']}")
+        write_abundance(os.path.join(outdir, "species/species_profile.txt"), abundance)
     if args.get("remove_temp"):
         import shutil
         shutil.rmtree(os.path.join(outdir, "species/temp"))

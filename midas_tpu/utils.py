@@ -1,8 +1,56 @@
-"""Small host-side biology utilities (reference midas/utility.py:288-332
-semantics: complement, reverse complement, codon translation, and
-strand-aware base substitution)."""
+"""Small host-side utilities: biology helpers (reference
+midas/utility.py:288-332 semantics: complement, reverse complement,
+codon translation, strand-aware base substitution), peak-memory
+tracking (:218-225), and fd-bounded sample batching (:38-57)."""
 
 from __future__ import annotations
+
+import platform
+import resource
+from contextlib import contextmanager
+from time import time
+from typing import List, Sequence
+
+
+def max_mem_usage() -> float:
+    """Peak RSS of self + children in GB (utility.py:218-225; ru_maxrss
+    is KB on Linux, bytes on Darwin)."""
+    peak = (resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+            + resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss)
+    scale = 1e6 if platform.system() == "Linux" else 1e9
+    return round(peak / scale, 2)
+
+
+@contextmanager
+def stage_timer(name: str, log=None):
+    """Per-stage wall-clock + peak-RSS reporting, matching the
+    reference's progress prints (e.g. midas/run/species.py:237-261)."""
+    print(f"\n{name}", flush=True)
+    if log is not None:
+        log.write(f"\n{name}\n")
+    start = time()
+    yield
+    mins = round((time() - start) / 60, 2)
+    mem = max_mem_usage()
+    print(f"  {mins} minutes", flush=True)
+    print(f"  {mem} Gb maximum memory", flush=True)
+    if log is not None:
+        log.write(f"  {mins} minutes\n  {mem} Gb maximum memory\n")
+
+
+def batch_samples(samples: Sequence, threads: int = 1) -> List[List]:
+    """Split samples into batches that respect RLIMIT_NOFILE when every
+    sample in a batch holds an open file per thread (utility.py:38-57)."""
+    import math
+
+    soft, _hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+    max_open = max(int(0.8 * soft / max(threads, 1)), 1)  # 20% headroom
+    smax = min(max_open, len(samples)) or 1
+    nbatch = math.ceil(len(samples) / float(smax))
+    batches: List[List] = [[] for _ in range(nbatch)]
+    for i, s in enumerate(samples):
+        batches[i % nbatch].append(s)
+    return [b for b in batches if b]
 
 CODON_TABLE = {
     "ATA": "I", "ATC": "I", "ATT": "I", "ATG": "M",

@@ -20,7 +20,7 @@ from midas_tpu.profile.species import (
 def species_out(sim_community, sim_reads, tmp_path_factory):
     outdir = str(tmp_path_factory.mktemp("sample1"))
     fq, truth = sim_reads
-    args = dict(outdir=outdir, db=sim_community.db_dir, m1=fq, m2=None)
+    args = dict(outdir=outdir, db=sim_community.db_dir, m1=fq, m2=None, m8=True)
     abundance = run_species(args)
     return outdir, abundance, truth
 
