@@ -21,7 +21,9 @@ import numpy as np
 
 from midas_tpu.align.banded import banded_align
 from midas_tpu.align.params import ScoringParams
-from midas_tpu.align.seed import SeedParams, find_candidates, gather_windows, revcomp_batch
+from midas_tpu.align.seed import (SeedParams, find_candidates,
+                                  gather_windows_packed, pack_words_host,
+                                  revcomp_batch)
 from midas_tpu.db.index import SeedIndex
 from midas_tpu.db.refpack import ReferencePack
 from midas_tpu.io.batch import ReadBatch
@@ -103,11 +105,13 @@ def _prepare_pairs(
     qlens: jnp.ndarray,
     strand: jnp.ndarray,   # [B, C]
     num_cands: int,
+    rc: Optional[jnp.ndarray] = None,  # [B, L] precomputed reverse complement
 ) -> tuple:
     """Per-candidate strand-selected queries, flattened to [B*C, L]."""
     B, L = codes.shape
     C = num_cands
-    rc = revcomp_batch(codes, qlens)
+    if rc is None:
+        rc = revcomp_batch(codes, qlens)
     q_pair = jnp.where(strand[:, :, None] == 1, rc[:, None, :], codes[:, None, :])
     q_pair = jnp.broadcast_to(q_pair, (B, C, L)).reshape(B * C, L)
     qlens_pair = jnp.broadcast_to(qlens[:, None], (B, C)).reshape(B * C)
@@ -127,16 +131,14 @@ def _postprocess(
     valid = cands["valid"]
     # drop duplicate alignments: same (seq, strand, tstart) found via two
     # nearby candidate diagonals — keep the first (candidates are emitted
-    # in decreasing vote order)
+    # in decreasing vote order). One [B, C, C] comparison, C is tiny.
     C = valid.shape[1]
-    dup = jnp.zeros_like(valid)
-    for c in range(1, C):
-        same = (
-            (seq_idx[:, c: c + 1] == seq_idx[:, :c])
-            & (cands["strand"][:, c: c + 1] == cands["strand"][:, :c])
-            & (tstart[:, c: c + 1] == tstart[:, :c])
-        )  # [B, c]
-        dup = dup.at[:, c].set(jnp.any(same & valid[:, :c], axis=1))
+    same = ((seq_idx[:, :, None] == seq_idx[:, None, :])
+            & (cands["strand"][:, :, None] == cands["strand"][:, None, :])
+            & (tstart[:, :, None] == tstart[:, None, :]))
+    c_iota = jnp.arange(C, dtype=jnp.int32)
+    earlier = c_iota[None, :, None] > c_iota[None, None, :]
+    dup = jnp.any(same & earlier & valid[:, None, :], axis=2)
     valid = valid & ~dup
     return dict(
         valid=valid,
@@ -155,22 +157,24 @@ def _postprocess(
 
 
 def _align_batch_stages(
-    index_arrays, pack_codes, pack_offsets, codes, qlens,
+    index_arrays, pack_arrays, codes, qlens,
     scoring: ScoringParams, seed_params: SeedParams, max_len: int,
 ) -> Dict[str, jnp.ndarray]:
     B, L = codes.shape
     C = seed_params.num_cands
     D = seed_params.band_width
     W = L + D - 1
+    pack_offsets = pack_arrays["offsets"]
     # static args must go by keyword: a positional static arg to a
     # nested jit gets traced instead
     cands = find_candidates(index_arrays, codes, qlens,
                             sp=seed_params, max_len=max_len)
     winstart = cands["diag"] - D // 2
-    ref_win, seq_idx = gather_windows(pack_codes, pack_offsets, winstart,
-                                      window_len=W)
+    ref_win, seq_idx = gather_windows_packed(
+        pack_arrays["words"], pack_arrays["nmask"], pack_offsets, winstart,
+        window_len=W)
     q_pair, qlens_pair = _prepare_pairs(codes, qlens, cands["strand"],
-                                        num_cands=C)
+                                        num_cands=C, rc=cands["rc"])
     out = dispatch_banded_align(q_pair, qlens_pair, ref_win.reshape(B * C, W),
                                 scoring, D)
     out = {k: v.reshape(B, C) for k, v in out.items()}
@@ -184,8 +188,7 @@ _align_batch_fused = jax.jit(
 
 def _align_batch_device(
     index_arrays: Dict[str, jnp.ndarray],
-    pack_codes: jnp.ndarray,
-    pack_offsets: jnp.ndarray,
+    pack_arrays: Dict[str, jnp.ndarray],
     codes: jnp.ndarray,
     qlens: jnp.ndarray,
     scoring: ScoringParams,
@@ -204,17 +207,19 @@ def _align_batch_device(
     """
     if jax.default_backend() not in ("cpu",):
         return _align_batch_fused(
-            index_arrays, pack_codes, pack_offsets, codes, qlens,
+            index_arrays, pack_arrays, codes, qlens,
             scoring=scoring, seed_params=seed_params, max_len=max_len)
+    pack_offsets = pack_arrays["offsets"]
     cands = find_candidates(index_arrays, codes, qlens, seed_params, max_len)
     cands = jax.block_until_ready(cands)
     D = seed_params.band_width
     W = codes.shape[1] + D - 1
     winstart = cands["diag"] - D // 2
-    ref_win, seq_idx = gather_windows(pack_codes, pack_offsets, winstart, W)
+    ref_win, seq_idx = gather_windows_packed(
+        pack_arrays["words"], pack_arrays["nmask"], pack_offsets, winstart, W)
     ref_win = jax.block_until_ready(ref_win)
     q_pair, qlens_pair = _prepare_pairs(
-        codes, qlens, cands["strand"], seed_params.num_cands)
+        codes, qlens, cands["strand"], seed_params.num_cands, rc=cands["rc"])
     B, C = codes.shape[0], seed_params.num_cands
     out = dispatch_banded_align(q_pair, qlens_pair, ref_win.reshape(B * C, W),
                                 scoring, D)
@@ -252,15 +257,18 @@ class Aligner:
         self.seed_params = seed_params or SeedParams()
         self.max_read_len = max_read_len
         self.index_arrays = dict(
-            table_key=jnp.asarray(index.table_key),
-            table_start=jnp.asarray(index.table_start),
-            table_count=jnp.asarray(index.table_count),
-            positions=jnp.asarray(index.positions),
+            bucket1=jnp.asarray(index.bucket1),
+            bucket2=jnp.asarray(index.bucket2),
+            positions2d=jnp.asarray(index.positions2d),
         )
         self.pack_codes = jnp.asarray(pack.codes)
         # x64 is disabled under jit; packs are asserted < 2 GiB at index
         # build time so int32 offsets are exact
         self.pack_offsets = jnp.asarray(pack.offsets.astype(np.int32))
+        words, nmask = pack_words_host(pack.codes)
+        self.pack_arrays = dict(
+            words=jnp.asarray(words), nmask=jnp.asarray(nmask),
+            offsets=self.pack_offsets)
 
     _PACK_FIELDS = ("valid", "score", "seq_idx", "strand", "tstart", "tend",
                     "qstart", "qend", "matches", "mismatches", "gap_cols",
@@ -286,6 +294,6 @@ class Aligner:
 
     def align_batch_device(self, codes: jnp.ndarray, qlens: jnp.ndarray):
         return _align_batch_device(
-            self.index_arrays, self.pack_codes, self.pack_offsets,
+            self.index_arrays, self.pack_arrays,
             codes, qlens, self.scoring, self.seed_params, self.max_read_len,
         )

@@ -7,9 +7,22 @@ top-C diagonals per read by vote count become banded-extension
 candidates. Both strands are searched by seeding the reverse-complement
 read (the reference gets this from the aligner binaries implicitly).
 
-Everything is fixed-shape: [B, 2, S, H] hit tensors flatten to
-[B, M] vote keys; top-C selection is C rounds of argmax + neighborhood
-masking. No data-dependent shapes anywhere.
+TPU layout notes (all measured on a v5e at B=2048 reads):
+
+- Hash probing is ONE parallel gather of all PROBE_WINDOW candidate
+  slots (the index build bounds displacement), not a sequential probe
+  loop: 16 dependent gathers are each HBM-latency-bound (~24 ms vs
+  ~3 ms).
+- Hits are packed per read with an inverse-CDF trick before the
+  positions gather: seeds are sorted by ascending hit count (so unique,
+  informative seeds survive truncation), hit m of a read maps to
+  (seed, within-seed offset) via comparisons against the exclusive
+  cumsum of counts — all VPU ops — and ONE [B, max_read_hits] gather
+  pulls exactly the real hits. The naive [B, S, max_hits] gather moves
+  ~17x more elements, nearly all padding (measured 21 ms -> ~2.5 ms).
+- Vote counting sorts the packed [B, 2*max_read_hits] diagonal keys and
+  run-length-counts via a log-doubling suffix min; top-C selection is C
+  rounds of argmax + neighborhood masking. No data-dependent shapes.
 """
 
 from __future__ import annotations
@@ -22,7 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from midas_tpu.db.index import EMPTY_KEY, SeedIndex
+from midas_tpu.db.index import (BUCKET_SLOTS, EMPTY_KEY, LEVEL2_SALT, ROW,
+                                SeedIndex)
 
 # plain ints: jnp constants at module level would initialize the JAX
 # backend on import, which breaks when a TPU plugin registers lazily
@@ -37,7 +51,7 @@ class SeedParams:
     max_hits: int = 16       # hits gathered per seed
     num_cands: int = 4       # banded-extension candidates per read
     band_width: int = 16     # D of the banded DP
-    probes: int = 16         # hash probes (index built at load factor <=0.5)
+    max_read_hits: int = 128  # per-read per-strand packed hit budget
 
 
 def fmix32_jnp(h: jnp.ndarray) -> jnp.ndarray:
@@ -65,46 +79,105 @@ def revcomp_batch(codes: jnp.ndarray, qlens: jnp.ndarray) -> jnp.ndarray:
 def _query_kmers(codes: jnp.ndarray, qlens: jnp.ndarray, k: int, stride: int,
                  max_len: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """K-mers at stride positions. Returns (kmers [B,S] uint32,
-    qpos [S] int32, valid [B,S] bool)."""
+    qpos [S] int32, valid [B,S] bool).
+
+    Built by k shifted accumulations over the read axis (pure VPU) and
+    a static stride slice — a [B, S, k] index gather here costs several
+    ms at B=2048 on TPU for no reason."""
     B, L = codes.shape
     n_seeds = max(1, (max_len - k) // stride + 1)
     qpos = jnp.arange(n_seeds, dtype=jnp.int32) * stride  # [S]
-    # gather k consecutive codes per seed
-    gather_idx = qpos[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]  # [S,k]
-    gather_idx = jnp.clip(gather_idx, 0, L - 1)
-    window = codes[:, gather_idx]  # [B, S, k]
-    valid = jnp.all(window < 4, axis=-1) & (qpos[None, :] + k <= qlens[:, None])
-    km = jnp.zeros((B, n_seeds), jnp.uint32)
+    cu = codes.astype(jnp.uint32)
+    km_all = jnp.zeros((B, L), jnp.uint32)
+    valid_all = jnp.ones((B, L), jnp.bool_)
     for i in range(k):
-        km = (km << 2) | (window[:, :, i].astype(jnp.uint32) & 3)
+        ci = cu if i == 0 else jnp.concatenate(
+            [cu[:, i:], jnp.full((B, i), 4, jnp.uint32)], axis=1)
+        km_all = (km_all << 2) | (ci & 3)
+        valid_all &= ci < 4
+    km = km_all[:, ::stride][:, :n_seeds]
+    valid = (valid_all[:, ::stride][:, :n_seeds]
+             & (qpos[None, :] + k <= qlens[:, None]))
     return km, qpos, valid
 
 
-def _hash_lookup(index_arrays: Dict[str, jnp.ndarray], kmers: jnp.ndarray,
-                 probes: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Open-addressing probe. kmers [...]; returns (start, count) int32,
-    count 0 when absent."""
-    table_key = index_arrays["table_key"]
-    T = table_key.shape[0]
-    mask = jnp.uint32(T - 1)
-    h = fmix32_jnp(kmers)
-    start = jnp.zeros(kmers.shape, jnp.int32)
+def _bucket_lookup(index_arrays: Dict[str, jnp.ndarray], kmers: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-level bucket lookup: ONE row gather per level returns the 8
+    candidate keys plus their start rows and counts ([.., 24] int32 rows;
+    see db/index.py). kmers [...] uint32; returns (start_row, count)
+    int32, count 0 when absent."""
+    km_i32 = kmers.astype(jnp.int32)   # k <= 15 so kmers < 2^30
+    start_row = jnp.zeros(kmers.shape, jnp.int32)
     count = jnp.zeros(kmers.shape, jnp.int32)
-    done = jnp.zeros(kmers.shape, jnp.bool_)
+    for name, salt in (("bucket1", 0), ("bucket2", int(LEVEL2_SALT))):
+        tbl = index_arrays[name]
+        nb = tbl.shape[0]
+        b = (fmix32_jnp(kmers ^ jnp.uint32(salt))
+             & jnp.uint32(nb - 1)).astype(jnp.int32)
+        rows = tbl[b]                                   # [..., 24] row gather
+        match = rows[..., :BUCKET_SLOTS] == km_i32[..., None]
+        start_row += jnp.sum(
+            jnp.where(match, rows[..., BUCKET_SLOTS:2 * BUCKET_SLOTS], 0), axis=-1)
+        count += jnp.sum(
+            jnp.where(match, rows[..., 2 * BUCKET_SLOTS:], 0), axis=-1)
+    return start_row, count
 
-    def body(r, carry):
-        start, count, done = carry
-        slot = ((h + jnp.uint32(r)) & mask).astype(jnp.int32)
-        key = table_key[slot]
-        found = (key == kmers) & ~done
-        empty = (key == jnp.uint32(EMPTY_KEY))
-        start = jnp.where(found, index_arrays["table_start"][slot], start)
-        count = jnp.where(found, index_arrays["table_count"][slot], count)
-        done = done | found | empty
-        return start, count, done
 
-    start, count, done = jax.lax.fori_loop(0, probes, body, (start, count, done))
-    return start, count
+def _packed_strand_keys(
+    index_arrays: Dict[str, jnp.ndarray],
+    strand_codes: jnp.ndarray,   # [B, L] int8
+    qlens: jnp.ndarray,
+    strand: int,
+    sp: "SeedParams",
+    max_len: int,
+) -> jnp.ndarray:
+    """Diagonal vote keys for one strand, packed to [B, max_read_hits].
+
+    Position runs are row-aligned (db/index.py), so hits are pulled as
+    whole [ROW]-wide rows: the inverse CDF runs over per-seed ROW
+    counts and ONE [B, R] row gather fetches up to R*ROW positions.
+    Invalid slots carry INVALID_KEY."""
+    B, L = strand_codes.shape
+    positions2d = index_arrays["positions2d"]
+    km, qpos, valid = _query_kmers(strand_codes, qlens, sp.k, sp.stride, max_len)
+    S = km.shape[1]
+    start_row, count = _bucket_lookup(index_arrays, km)           # [B, S]
+    c = jnp.where(valid, jnp.minimum(count, sp.max_hits), 0)
+
+    # sort seeds by ascending hit count: unique (informative) seeds pack
+    # first, repeat-heavy seeds are truncated preferentially
+    order = jnp.argsort(c, axis=1)
+    c_s = jnp.take_along_axis(c, order, axis=1)
+    sr_s = jnp.take_along_axis(start_row, order, axis=1)
+    qpos_s = jnp.take_along_axis(
+        jnp.broadcast_to(qpos[None, :], (B, S)), order, axis=1)
+
+    r_s = (c_s + ROW - 1) // ROW                                   # rows per seed
+    roffs = jnp.cumsum(r_s, axis=1) - r_s                          # [B, S] exclusive
+    rtotal = roffs[:, -1] + r_s[:, -1]                             # [B]
+    R = max(1, sp.max_read_hits // ROW)
+    j = jnp.arange(R, dtype=jnp.int32)[None, :]                    # [1, R]
+    # inverse CDF: row j belongs to seed sid = max{s : roffs[s] <= j};
+    # one-hot select of that seed's attributes is pure VPU work
+    le = roffs[:, None, :] <= j[:, :, None]                        # [B, R, S]
+    sid = jnp.sum(le.astype(jnp.int32), axis=2) - 1                # [B, R]
+    onehot = (jnp.arange(S, dtype=jnp.int32)[None, None, :]
+              == sid[:, :, None])                                  # [B, R, S]
+    sr_of = jnp.sum(jnp.where(onehot, sr_s[:, None, :], 0), axis=2)
+    roffs_of = jnp.sum(jnp.where(onehot, roffs[:, None, :], 0), axis=2)
+    qpos_of = jnp.sum(jnp.where(onehot, qpos_s[:, None, :], 0), axis=2)
+    c_of = jnp.sum(jnp.where(onehot, c_s[:, None, :], 0), axis=2)
+    rwi = j - roffs_of                                             # row within seed
+    row_idx = sr_of + rwi
+    jvalid = j < jnp.minimum(rtotal, R)[:, None]
+    prow = positions2d[jnp.clip(row_idx, 0, positions2d.shape[0] - 1)]  # [B,R,ROW]
+    e = jnp.arange(ROW, dtype=jnp.int32)[None, None, :]
+    elem_valid = (jvalid[:, :, None]
+                  & ((rwi[:, :, None] * ROW + e) < c_of[:, :, None]))
+    diag = prow - qpos_of[:, :, None]
+    key = jnp.int32(strand * STRAND_OFFSET) + diag + jnp.int32(L)
+    return jnp.where(elem_valid, key, INVALID_KEY).reshape(B, R * ROW)
 
 
 @functools.partial(jax.jit, static_argnames=("sp", "max_len"))
@@ -119,26 +192,15 @@ def find_candidates(
 
     Returns dict with [B, C] arrays: diag (ref_pos - query_pos in pack
     coords), strand (0 fwd / 1 rc), votes (seed hits on that diagonal),
-    valid (bool).
+    valid (bool) — plus rc [B, L], the reverse-complement reads (reused
+    by the extension stage so it is computed once per batch).
     """
     B, L = codes.shape
     rc = revcomp_batch(codes, qlens)
-    positions = index_arrays["positions"]
 
-    keys_all = []
-    for strand, strand_codes in enumerate((codes, rc)):
-        km, qpos, valid = _query_kmers(strand_codes, qlens, sp.k, sp.stride, max_len)
-        start, count = _hash_lookup(index_arrays, km, sp.probes)  # [B,S]
-        count = jnp.where(valid, count, 0)
-        h_idx = jnp.arange(sp.max_hits, dtype=jnp.int32)  # [H]
-        gidx = start[:, :, None] + h_idx[None, None, :]   # [B,S,H]
-        hit_valid = h_idx[None, None, :] < jnp.minimum(count, sp.max_hits)[:, :, None]
-        pos = positions[jnp.clip(gidx, 0, positions.shape[0] - 1)]  # [B,S,H]
-        diag = pos - qpos[None, :, None]
-        key = jnp.int32(strand * STRAND_OFFSET) + diag + jnp.int32(L)
-        key = jnp.where(hit_valid, key, INVALID_KEY)
-        keys_all.append(key.reshape(B, -1))
-    keys = jnp.concatenate(keys_all, axis=1)  # [B, M]
+    keys = jnp.concatenate(
+        [_packed_strand_keys(index_arrays, sc, qlens, strand, sp, max_len)
+         for strand, sc in enumerate((codes, rc))], axis=1)  # [B, 2*M]
 
     keys = jnp.sort(keys, axis=1)
     # votes per run of equal keys, via prefix scans (a vmapped
@@ -151,7 +213,7 @@ def find_candidates(
     # cumulative min of start positions), computed as an explicit
     # log-doubling suffix min: lax.associative_scan here makes TPU XLA
     # compile superlinearly in B*M when composed with the hit-gather
-    # producer above (measured 100s+ at B=1024, M=1088 — vs 3s for the
+    # producer above (measured 100s+ at B=1024 — vs seconds for the
     # unrolled doubling, which computes the identical result)
     start_pos = jnp.where(is_start, j_idx, M)
     next_start = jnp.concatenate(
@@ -184,7 +246,7 @@ def find_candidates(
     valid = cand_votes > 0
     strand = (cand_key // STRAND_OFFSET).astype(jnp.int32)
     diag = cand_key - strand * STRAND_OFFSET - jnp.int32(L)
-    return dict(diag=diag, strand=strand, votes=cand_votes, valid=valid)
+    return dict(diag=diag, strand=strand, votes=cand_votes, valid=valid, rc=rc)
 
 
 @functools.partial(jax.jit, static_argnames=("window_len",))
@@ -197,8 +259,21 @@ def gather_windows(
     """Gather reference windows, masking outside the target sequence so
     alignments never cross packed-sequence boundaries.
 
+    Element-gather fallback (used by the CPU path and dist/sharded);
+    the TPU hot path uses gather_windows_packed below.
+
     Returns (ref_win [B, C, W] int8, seq_idx [B, C] int32)."""
     W = window_len
+    seq_idx, seq_lo, seq_hi = _window_seq_bounds(pack_offsets, winstart, W)
+    w = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    pos = winstart[:, :, None] + w
+    in_seq = (pos >= seq_lo[:, :, None]) & (pos < seq_hi[:, :, None])
+    gathered = pack_codes[jnp.clip(pos, 0, pack_codes.shape[0] - 1)]
+    ref_win = jnp.where(in_seq, gathered, jnp.int8(4))
+    return ref_win, seq_idx
+
+
+def _window_seq_bounds(pack_offsets, winstart, W):
     center = winstart + W // 2
     seq_idx = (
         jnp.searchsorted(pack_offsets, center.astype(pack_offsets.dtype), side="right") - 1
@@ -206,9 +281,81 @@ def gather_windows(
     seq_idx = jnp.clip(seq_idx, 0, pack_offsets.shape[0] - 2)
     seq_lo = pack_offsets[seq_idx].astype(jnp.int32)
     seq_hi = pack_offsets[seq_idx + 1].astype(jnp.int32)
+    return seq_idx, seq_lo, seq_hi
+
+
+BASES_PER_WORD = 16  # 2-bit codes packed into uint32 words
+
+
+@functools.partial(jax.jit, static_argnames=("window_len",))
+def gather_windows_packed(
+    pack_words: jnp.ndarray,   # [NW] uint32, 16 bases/word 2-bit packed
+    pack_nmask: jnp.ndarray,   # [NW] uint32, bit j = base j is a sentinel
+    pack_offsets: jnp.ndarray, # [S+1] int32/int64
+    winstart: jnp.ndarray,     # [B, C] int32 global pack coords
+    window_len: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Word-packed window gather for TPU.
+
+    An int8 element gather moves one base per (HBM-latency-bound)
+    gathered element; packing 16 bases into each uint32 word cuts the
+    gathered element count 16x (measured 23 ms -> ~3 ms at B*C=16k,
+    W=143). The sub-word realignment (winstart mod 16) is a 16-way
+    static-slice select — pure VPU work.
+
+    Returns (ref_win [B, C, W] int8, seq_idx [B, C] int32)."""
+    W = window_len
+    NWIN = (W + BASES_PER_WORD - 1) // BASES_PER_WORD + 1
+    seq_idx, seq_lo, seq_hi = _window_seq_bounds(pack_offsets, winstart, W)
+
+    w0 = jnp.floor_divide(winstart, BASES_PER_WORD)           # [B, C]
+    off = winstart - w0 * BASES_PER_WORD                       # in [0, 16)
+    widx = w0[:, :, None] + jnp.arange(NWIN, dtype=jnp.int32)  # [B, C, NWIN]
+    widx = jnp.clip(widx, 0, pack_words.shape[0] - 1)
+    words = pack_words[widx]                                   # [B, C, NWIN] u32
+    nwords = pack_nmask[widx]
+
+    shifts = jnp.arange(BASES_PER_WORD, dtype=jnp.uint32) * 2  # [16]
+    codes = ((words[..., None] >> shifts) & jnp.uint32(3)).astype(jnp.int8)
+    codes = codes.reshape(*codes.shape[:-2], NWIN * BASES_PER_WORD)
+    nshift = jnp.arange(BASES_PER_WORD, dtype=jnp.uint32)
+    nflag = ((nwords[..., None] >> nshift) & jnp.uint32(1)).astype(jnp.bool_)
+    nflag = nflag.reshape(*nflag.shape[:-2], NWIN * BASES_PER_WORD)
+
+    # realign: out[j] = codes[off + j]; off < 16 so a 16-way select over
+    # static slices covers every case
+    res = jnp.zeros(winstart.shape + (W,), jnp.int8)
+    nres = jnp.zeros(winstart.shape + (W,), jnp.bool_)
+    for k in range(BASES_PER_WORD):
+        sel = (off == k)[..., None]
+        res = jnp.where(sel, codes[..., k: k + W], res)
+        nres = jnp.where(sel, nflag[..., k: k + W], nres)
+
     w = jnp.arange(W, dtype=jnp.int32)[None, None, :]
     pos = winstart[:, :, None] + w
     in_seq = (pos >= seq_lo[:, :, None]) & (pos < seq_hi[:, :, None])
-    gathered = pack_codes[jnp.clip(pos, 0, pack_codes.shape[0] - 1)]
-    ref_win = jnp.where(in_seq, gathered, jnp.int8(4))
+    ref_win = jnp.where(in_seq & ~nres, res, jnp.int8(4))
     return ref_win, seq_idx
+
+
+def pack_words_host(codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side 2-bit packing of a reference code array.
+
+    Returns (words [ceil(G/16)+1] uint32 with 16 bases/word, nmask of the
+    same shape with bit j set where base j is a sentinel). One guard word
+    is appended so clipped gathers near the end stay in range."""
+    codes = np.asarray(codes, dtype=np.int8)
+    G = len(codes)
+    nw = (G + BASES_PER_WORD - 1) // BASES_PER_WORD
+    padded = np.full(nw * BASES_PER_WORD, 4, dtype=np.int8)
+    padded[:G] = codes
+    grid = padded.reshape(nw, BASES_PER_WORD).astype(np.uint32)
+    shifts = (np.arange(BASES_PER_WORD, dtype=np.uint32) * 2)[None, :]
+    words = ((grid & 3) << shifts).sum(axis=1, dtype=np.uint32)
+    nmask = ((grid >= 4).astype(np.uint32)
+             << np.arange(BASES_PER_WORD, dtype=np.uint32)[None, :]).sum(
+                 axis=1, dtype=np.uint32)
+    guard_word = np.zeros(1, np.uint32)
+    guard_mask = np.full(1, 0xFFFF, np.uint32)  # all-sentinel guard
+    return (np.concatenate([words, guard_word]),
+            np.concatenate([nmask, guard_mask]))

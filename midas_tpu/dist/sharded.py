@@ -72,33 +72,45 @@ def shard_index(
     max_len = max(len(s.codes) for s, _lo, _ls in slices)
     max_pos = max(1, max(len(s.offsets) - 1 for s, _lo, _ls in slices))
     indexes = [build_seed_index(s, k=k, max_occ=max_occ) for s, _lo, _ls in slices]
-    T = max(ix.table_size for ix in indexes)
-    NP = max(len(ix.positions) for ix in indexes)
-    # pad everything to uniform shapes
+    NB1 = max(len(ix.bucket1) for ix in indexes)
+    NB2 = max(len(ix.bucket2) for ix in indexes)
+    NR = max(len(ix.positions2d) for ix in indexes)
+    # bucket addressing depends on the table size, so shards must agree
+    # on NB1/NB2 exactly: rebuild any mismatched shard at the common
+    # sizes (a forced-larger bucket2 can itself grow on overflow, hence
+    # the loop; it converges because sizes only ratchet upward)
+    while True:
+        if all(len(ix.bucket1) == NB1 and len(ix.bucket2) == NB2
+               for ix in indexes):
+            break
+        for r, ((sub, _lo, _ls), ix) in enumerate(zip(slices, indexes)):
+            if len(ix.bucket1) != NB1 or len(ix.bucket2) != NB2:
+                indexes[r] = build_seed_index(
+                    sub, k=k, max_occ=max_occ,
+                    min_table_size=NB1 * 8, min_buckets2=NB2)
+        NB1 = max(len(ix.bucket1) for ix in indexes)
+        NB2 = max(len(ix.bucket2) for ix in indexes)
     codes = np.full((tp, max_len), 4, dtype=np.int8)
-    table_key = np.full((tp, T), 0xFFFFFFFF, dtype=np.uint32)
-    table_start = np.zeros((tp, T), dtype=np.int32)
-    table_count = np.zeros((tp, T), dtype=np.int32)
-    positions = np.zeros((tp, NP), dtype=np.int32)
+    bucket1 = np.full((tp, NB1, 24), 0, dtype=np.int32)
+    bucket1[:, :, :8] = -1
+    bucket2 = np.full((tp, NB2, 24), 0, dtype=np.int32)
+    bucket2[:, :, :8] = -1
+    positions2d = np.zeros((tp, NR, 8), dtype=np.int32)
     offsets = np.zeros((tp, max_pos + 1), dtype=np.int32)
     shard_base = np.zeros(tp, dtype=np.int32)
     seq_base = np.zeros(tp, dtype=np.int32)
     for r, ((sub, lo, lo_seq), ix) in enumerate(zip(slices, indexes)):
         codes[r, : len(sub.codes)] = sub.codes
-        if ix.table_size != T:
-            # rebuild at the common table size for uniformity
-            ix = build_seed_index(sub, k=k, max_occ=max_occ, min_table_size=T)
-        table_key[r] = ix.table_key
-        table_start[r] = ix.table_start
-        table_count[r] = ix.table_count
-        positions[r, : len(ix.positions)] = ix.positions
+        bucket1[r, : len(ix.bucket1)] = ix.bucket1
+        bucket2[r, : len(ix.bucket2)] = ix.bucket2
+        positions2d[r, : len(ix.positions2d)] = ix.positions2d
         n_off = len(sub.offsets)
         offsets[r, :n_off] = sub.offsets
         offsets[r, n_off:] = sub.offsets[-1]
         shard_base[r] = lo
         seq_base[r] = lo_seq
-    index_arrays = dict(table_key=table_key, table_start=table_start,
-                        table_count=table_count, positions=positions)
+    index_arrays = dict(bucket1=bucket1, bucket2=bucket2,
+                        positions2d=positions2d)
     return codes, index_arrays, offsets, shard_base, seq_base
 
 
@@ -185,8 +197,8 @@ def distributed_profile_step(
         local_step,
         mesh=mesh,
         in_specs=(P("dp", None), P("dp"), P("tp", None),
-                  dict(table_key=P("tp", None), table_start=P("tp", None),
-                       table_count=P("tp", None), positions=P("tp", None)),
+                  dict(bucket1=P("tp", None, None), bucket2=P("tp", None, None),
+                       positions2d=P("tp", None, None)),
                   P("tp", None), P("tp")),
         out_specs=(P(), P(), P()),
         check_vma=False,

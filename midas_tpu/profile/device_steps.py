@@ -160,8 +160,7 @@ def species_init(n_species: int, num_cands: int, amb_cap: int) -> SpeciesState:
 def species_update(
     state: SpeciesState,
     index_arrays: Dict[str, jnp.ndarray],
-    pack_codes: jnp.ndarray,
-    pack_offsets: jnp.ndarray,
+    pack_arrays: Dict[str, jnp.ndarray],
     seq_species: jnp.ndarray,   # [num_seqs] i32
     seq_cutoff: jnp.ndarray,    # [num_seqs] f32 per-marker %id cutoffs
     codes: jnp.ndarray,
@@ -175,7 +174,7 @@ def species_update(
 ) -> SpeciesState:
     """One batch of the species classifier, entirely on device
     (reference semantics: species.py:64-119)."""
-    out = _align_batch_stages(index_arrays, pack_codes, pack_offsets,
+    out = _align_batch_stages(index_arrays, pack_arrays,
                               codes, qlens, scoring, seed_params, max_len)
     B, C = out["score"].shape
     real = jnp.arange(B) < n_reads
@@ -242,8 +241,7 @@ def genes_init(num_genes: int) -> GenesState:
 def genes_update(
     state: GenesState,
     index_arrays: Dict[str, jnp.ndarray],
-    pack_codes: jnp.ndarray,
-    pack_offsets: jnp.ndarray,
+    pack_arrays: Dict[str, jnp.ndarray],
     num_genes: int,
     codes: jnp.ndarray,
     qlens: jnp.ndarray,
@@ -258,7 +256,7 @@ def genes_update(
     aln_cov: float,
 ) -> GenesState:
     """One batch of CNV counting on device (genes.py:153-203)."""
-    out = _align_batch_stages(index_arrays, pack_codes, pack_offsets,
+    out = _align_batch_stages(index_arrays, pack_arrays,
                               codes, qlens, scoring, seed_params, max_len)
     B = out["score"].shape[0]
     G = num_genes
@@ -315,8 +313,7 @@ def snps_init(total_len: int, n_species: int, gap_cap: int,
 def snps_update(
     state: SnpsState,
     index_arrays: Dict[str, jnp.ndarray],
-    pack_codes: jnp.ndarray,
-    pack_offsets: jnp.ndarray,
+    pack_arrays: Dict[str, jnp.ndarray],
     contig_species: jnp.ndarray,  # [num_seqs] i32
     codes: jnp.ndarray,
     quals: jnp.ndarray,           # [B, L] i8
@@ -335,10 +332,10 @@ def snps_update(
     """One pileup batch on device: gapless kept reads scatter base
     counts directly (the closed-form column map of snps.py's pileup);
     gapped kept reads spill to a buffer for exact host traceback."""
-    out = _align_batch_stages(index_arrays, pack_codes, pack_offsets,
+    out = _align_batch_stages(index_arrays, pack_arrays,
                               codes, qlens, scoring, seed_params, max_len)
     B, L = codes.shape
-    # genome length from the counts buffer, NOT pack_codes.shape[0]:
+    # genome length from the counts buffer, NOT the pack length:
     # the pack carries a GUARD pad beyond total_len (refpack.py)
     G = state.counts.shape[0] // 4 - 1
     S = state.aligned_reads.shape[0] - 1
@@ -366,7 +363,7 @@ def snps_update(
     qs = _pick(out["qstart"], best_col)
     qe = _pick(out["qend"], best_col)
     ts = _pick(out["tstart"], best_col)
-    seq_lo = pack_offsets[ci].astype(jnp.int32)
+    seq_lo = pack_arrays["offsets"][ci].astype(jnp.int32)
     scatter_row = keep & gapless
     in_aln = (j >= qs[:, None]) & (j < qe[:, None])
     tpos = seq_lo[:, None] + ts[:, None] + (j - qs[:, None])

@@ -93,7 +93,7 @@ class GenesProfiler:
                 for i in range(batch.codes.shape[0]):
                     batch.codes[i, batch.lengths[i]:] = 4
             state = ds.genes_update(
-                state, al.index_arrays, al.pack_codes, al.pack_offsets,
+                state, al.index_arrays, al.pack_arrays,
                 G,
                 jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
                 jnp.asarray(batch.mean_qual), jnp.int32(batch.n_reads),

@@ -93,7 +93,7 @@ class SnpsProfiler:
                 for i in range(batch.codes.shape[0]):
                     batch.codes[i, batch.lengths[i]:] = 4
             state = ds.snps_update(
-                state, al.index_arrays, al.pack_codes, al.pack_offsets,
+                state, al.index_arrays, al.pack_arrays,
                 contig_species,
                 jnp.asarray(batch.codes), jnp.asarray(batch.quals),
                 jnp.asarray(batch.lengths), jnp.asarray(batch.mean_qual),

@@ -211,7 +211,7 @@ class SpeciesProfiler:
             total_reads += batch.n_reads
             total_bp += int(batch.lengths[: batch.n_reads].sum())
             state = ds.species_update(
-                state, al.index_arrays, al.pack_codes, al.pack_offsets,
+                state, al.index_arrays, al.pack_arrays,
                 seq_species, seq_cutoff,
                 jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
                 jnp.int32(batch.n_reads),
