@@ -1,8 +1,14 @@
 #!/usr/bin/env python
-"""Benchmark: aligned reads/sec/chip for marker-gene mapping (the
-reference's species-profiling hot loop, ~5,000 reads/s on CPU per
-docs/species.md:68), plus pangenome-mapping reads/s (~16,000 reads/s
-reference, docs/cnvs.md:103) and SNP pileup sites/s.
+"""Benchmark: the device-resident profiling pipelines, end to end.
+
+Times exactly what a user runs — `SpeciesProfiler.run` /
+`GenesProfiler.run` / `SnpsProfiler.run`, i.e. native FASTQ parsing +
+H2D + the fused seed/extend/classify jit with donated accumulators +
+the single end-of-stream readback — against the reference's published
+single-thread numbers (species ~5,000 reads/s, docs/species.md:68;
+pangenome and SNP mapping ~16,000 reads/s, docs/cnvs.md:103 and
+docs/snvs.md:110). Also reports the device pileup rate in base
+observations scattered per second (snps_update steady state).
 
 Runs on the default JAX platform (the real TPU chip under axon).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
@@ -18,17 +24,21 @@ import numpy as np
 
 REF_SPECIES_READS_PER_SEC = 5000.0   # docs/species.md:68
 REF_GENES_READS_PER_SEC = 16000.0    # docs/cnvs.md:103
+REF_SNPS_READS_PER_SEC = 16000.0     # docs/snvs.md:110
+
+N_READS = 65536
+BATCH = 8192
 
 
 def main():
+    import jax
     import jax.numpy as jnp
 
-    from midas_tpu.align.params import GLOBAL_SCORING, MARKER_SCORING
-    from midas_tpu.align.pipeline import Aligner
-    from midas_tpu.align.seed import SeedParams
-    from midas_tpu.db import Database, build_seed_index
-    from midas_tpu.db.refpack import pack_from_fasta
-    from midas_tpu.io.batch import batch_reads
+    from midas_tpu.db import Database
+    from midas_tpu.io.batch import load_read_batches
+    from midas_tpu.profile.genes import GenesProfiler
+    from midas_tpu.profile.snps import SnpsProfiler
+    from midas_tpu.profile.species import SpeciesProfiler
     from midas_tpu.testkit import simulate_db, simulate_reads
 
     tmp = tempfile.mkdtemp(prefix="midas_bench_")
@@ -36,78 +46,76 @@ def main():
                        genome_len=40000, gene_len=900, n_extra_genes=10,
                        related_pairs=3, divergence=0.03, seed=0)
     db = Database(comm.db_dir)
-
-    B, L = 2048, 128
-    rng = np.random.default_rng(7)
-
-    def make_batch(seed):
-        fq = os.path.join(tmp, f"r{seed}.fq.gz")
-        simulate_reads(comm, fq, n_reads=B, read_len=100,
-                       error_rate=0.005, seed=seed)
-        from midas_tpu.io.batch import load_read_batches
-        return next(load_read_batches(fq, batch_size=B, max_len=L))
-
-    batches = [make_batch(s) for s in range(3)]
-
+    fq = os.path.join(tmp, "reads.fq.gz")
+    simulate_reads(comm, fq, n_reads=N_READS, read_len=100,
+                   error_rate=0.005, seed=7)
     results = {}
 
-    # --- marker-gene mapping (species personality) -----------------------
-    marker_pack = pack_from_fasta(db.marker_fasta())
-    sp = SeedParams(num_cands=8, max_hits=32)
-    aligner = Aligner(marker_pack, build_seed_index(marker_pack, k=sp.k),
-                      MARKER_SCORING, sp, max_read_len=L)
-    aligner.align_batch(batches[0])  # compile + warm
+    # --- species profiling (marker-gene mapping), end to end ------------
+    prof = SpeciesProfiler(db)
+    prof.run([fq], max_reads=BATCH, batch_size=BATCH)   # compile + warm
     t0 = time.time()
-    n = 0
-    reps = 4
-    for r in range(reps):
-        for b in batches:
-            aligner.align_batch(b)
-            n += b.n_reads
+    prof.run([fq], batch_size=BATCH)
     dt = time.time() - t0
-    results["marker_reads_per_sec"] = n / dt
+    results["marker_reads_per_sec"] = N_READS / dt
 
-    # --- pangenome mapping (CNV personality) -----------------------------
-    genome_pack = pack_from_fasta(
-        [db.pangenome_fasta(s) for s in comm.species_ids()])
-    spg = SeedParams(num_cands=4, max_hits=16)
-    galigner = Aligner(genome_pack, build_seed_index(genome_pack, k=spg.k),
-                       GLOBAL_SCORING, spg, max_read_len=L)
-    galigner.align_batch(batches[0])
+    # --- pangenome CNV mapping, end to end -------------------------------
+    # reference baseline condition: a single selected species
+    # (docs/cnvs.md:103, docs/snvs.md:110 both quote "single species")
+    one_species = comm.species_ids()[:1]
+    gprof = GenesProfiler(db, one_species)
+    gprof.run([fq], max_reads=BATCH, batch_size=BATCH)
     t0 = time.time()
-    n = 0
-    for r in range(reps):
-        for b in batches:
-            galigner.align_batch(b)
-            n += b.n_reads
+    gprof.run([fq], batch_size=BATCH)
     dt = time.time() - t0
-    results["pangenome_reads_per_sec"] = n / dt
+    results["pangenome_reads_per_sec"] = N_READS / dt
 
-    # --- pileup sites/s ---------------------------------------------------
-    # scatter-add of base counts for kept reads over the genome axis
-    res = galigner.align_batch(batches[0])
-    from midas_tpu.profile.common import pick_best_hits
-    aligned, best_col, _ = pick_best_hits(res, GLOBAL_SCORING,
-                                          batches[0].lengths)
-    G = genome_pack.total_len
-    counts = np.zeros((4, G), dtype=np.int32)
-    rows = np.flatnonzero(aligned)
+    # --- SNP pileup, end to end -------------------------------------------
+    sprof = SnpsProfiler(db, one_species)
+    sprof.run([fq], max_reads=BATCH, batch_size=BATCH)
     t0 = time.time()
-    reps_p = 20
-    for _ in range(reps_p):
-        for i in rows[:2000]:
-            c = best_col[i]
-            qs, qe = int(res.qstart[i, c]), int(res.qend[i, c])
-            ts = int(res.tstart[i, c])
-            qpos = np.arange(qs, qe)
-            base = batches[0].codes[i, qpos]
-            np.add.at(counts, (np.clip(base, 0, 3), ts + qpos - qs), 1)
-    sites = reps_p * min(len(rows), 2000) * 100
+    sprof.run([fq], batch_size=BATCH)
+    dt = time.time() - t0
+    results["snps_reads_per_sec"] = N_READS / dt
+
+    # --- device pileup rate: snps_update steady state ---------------------
+    # base observations scattered into the [4, G] count tensor per second
+    # (every base of every read is one potential pileup site update)
+    from midas_tpu.align.params import GLOBAL_SCORING
+    from midas_tpu.profile import device_steps as ds
+
+    batches = list(load_read_batches(fq, batch_size=BATCH,
+                                     max_len=sprof.aligner.max_read_len,
+                                     max_reads=4 * BATCH))
+    dev = [(jnp.asarray(b.codes), jnp.asarray(b.quals),
+            jnp.asarray(b.lengths), jnp.asarray(b.mean_qual),
+            jnp.int32(b.n_reads)) for b in batches]
+    al = sprof.aligner
+    contig_species = jnp.asarray(sprof.contig_species)
+    state = ds.snps_init(sprof.pack.total_len, len(sprof.species_ids),
+                         1024, al.max_read_len)
+
+    def step(state, d):
+        return ds.snps_update(
+            state, al.index_arrays, al.pack_arrays, contig_species,
+            *d, scoring=GLOBAL_SCORING, seed_params=al.seed_params,
+            max_len=al.max_read_len, mapid=94.0, readq=20.0,
+            min_mapq=20, baseq=30, aln_cov=0.75)
+
+    state = step(state, dev[0])
+    state.gap_n.block_until_ready()
+    t0 = time.time()
+    reps, sites = 4, 0
+    for _ in range(reps):
+        for b, d in zip(batches, dev):
+            state = step(state, d)
+            sites += int(b.lengths[: b.n_reads].sum())
+    state.gap_n.block_until_ready()
     results["pileup_sites_per_sec"] = sites / (time.time() - t0)
 
     value = results["marker_reads_per_sec"]
     print(json.dumps({
-        "metric": "marker-gene aligned reads/sec/chip",
+        "metric": "marker-gene aligned reads/sec/chip (end-to-end)",
         "value": round(value, 1),
         "unit": "reads/s",
         "vs_baseline": round(value / REF_SPECIES_READS_PER_SEC, 2),
@@ -115,7 +123,11 @@ def main():
             "pangenome_reads_per_sec": round(results["pangenome_reads_per_sec"], 1),
             "pangenome_vs_baseline": round(
                 results["pangenome_reads_per_sec"] / REF_GENES_READS_PER_SEC, 2),
+            "snps_reads_per_sec": round(results["snps_reads_per_sec"], 1),
+            "snps_vs_baseline": round(
+                results["snps_reads_per_sec"] / REF_SNPS_READS_PER_SEC, 2),
             "pileup_sites_per_sec": round(results["pileup_sites_per_sec"], 1),
+            "n_reads": N_READS,
             "platform": _platform(),
         },
     }))

@@ -1,0 +1,155 @@
+"""Multi-host data-parallel driving.
+
+The reference never leaves one host (its concurrency is fork pools +
+unix pipes, midas/utility.py:81-107); reads, though, are embarrassingly
+parallel, so the multi-host design is pure DP over the read stream:
+
+- every process joins the job via jax.distributed.initialize;
+- each host streams a disjoint shard of the input FASTQ(s) — whole
+  files round-robin when several files are given, batch striding over
+  one file otherwise — and profiles it on its LOCAL chips (optionally
+  with a local tp axis via DistributedSpeciesProfiler);
+- the tiny per-species accumulators (unique counts/bp) and the
+  ambiguous-read spill rows merge across hosts with one
+  process_allgather at end of stream;
+- the ambiguous-read RNG assignment then runs identically on every
+  host (same seed, same merged row order: process-major, stream order
+  within a process), so every host computes the same profile and rank
+  0 writes it.
+
+This keeps the per-batch path free of cross-host (DCN) traffic — the
+only inter-host bytes are the end-of-stream accumulator merge.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """jax.distributed.initialize wrapper; no-op for single-process runs
+    (auto-detects cloud TPU topology when args are None)."""
+    import jax
+
+    if num_processes is not None and num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address, num_processes, process_id)
+
+
+def shard_read_paths(paths: Sequence[str], process_index: int,
+                     process_count: int) -> List[str]:
+    """Round-robin whole input files across hosts. With fewer files than
+    hosts, callers should fall back to batch striding (stride_batches)."""
+    paths = list(paths)
+    if process_count <= 1 or len(paths) < process_count:
+        return paths
+    return paths[process_index::process_count]
+
+
+def stride_batches(batches, process_index: int, process_count: int):
+    """Every host parses the shared stream but keeps batch i where
+    i % process_count == process_index (the native reader parses at
+    ~1.3M reads/s, far above per-chip align throughput, so redundant
+    parsing does not bound scaling until ~dozens of hosts; beyond that,
+    split the input into per-host files)."""
+    for i, b in enumerate(batches):
+        if i % process_count == process_index:
+            yield b
+
+
+def merge_species_accumulators(
+    unique_count: np.ndarray, unique_bp: np.ndarray,
+    ambiguous: List, stats: Dict[str, int],
+):
+    """Cross-host merge of one host's species-classifier results.
+
+    Uses jax.experimental.multihost_utils.process_allgather; a
+    single-process run short-circuits to the inputs. Ambiguous rows are
+    concatenated process-major so every host sees the same order."""
+    import jax
+
+    if jax.process_count() == 1:
+        return unique_count, unique_bp, ambiguous, stats
+
+    from jax.experimental import multihost_utils as mh
+
+    g_count = np.asarray(mh.process_allgather(unique_count)).sum(axis=0)
+    g_bp = np.asarray(mh.process_allgather(unique_bp)).sum(axis=0)
+    # pack this host's ambiguous rows into one padded array
+    n = len(ambiguous)
+    width = max([len(s) for s, _ in ambiguous], default=1)
+    n_max = int(np.asarray(mh.process_allgather(np.int64(n))).max())
+    w_max = int(np.asarray(mh.process_allgather(np.int64(width))).max())
+    sp = np.full((max(n_max, 1), w_max), -1, dtype=np.int64)
+    bp = np.zeros((max(n_max, 1), w_max), dtype=np.float64)
+    for r, (s, a) in enumerate(ambiguous):
+        sp[r, : len(s)] = s
+        bp[r, : len(a)] = a
+    counts = np.asarray(mh.process_allgather(np.int64(n)))
+    g_sp = np.asarray(mh.process_allgather(sp))    # [P, n_max, w]
+    g_abp = np.asarray(mh.process_allgather(bp))
+    merged = []
+    for p in range(g_sp.shape[0]):
+        for r in range(int(counts[p])):
+            cols = np.flatnonzero(g_sp[p, r] >= 0)
+            merged.append((g_sp[p, r, cols], g_abp[p, r, cols]))
+    g_stats = {
+        k: int(np.asarray(mh.process_allgather(np.int64(v))).sum())
+        for k, v in stats.items()
+    }
+    return g_count, g_bp, merged, g_stats
+
+
+def run_species_multihost(
+    db, read_paths, outdir: Optional[str] = None,
+    tp: int = 1, batch_size: int = 8192,
+    read_length: Optional[int] = None, max_reads: Optional[int] = None,
+    seed: int = 42, **profiler_kw,
+) -> Dict:
+    """Species profile over every host's local chips; returns the
+    abundance dict (identical on all hosts). Rank 0 writes
+    species_profile.txt when outdir is given."""
+    import jax
+
+    from midas_tpu.db.layout import Database
+    from midas_tpu.io.batch import load_read_batches
+    from midas_tpu.profile.species import SpeciesProfiler, write_abundance
+
+    if not isinstance(db, Database):
+        db = Database(db)
+    pid, pcount = jax.process_index(), jax.process_count()
+    if isinstance(read_paths, str):
+        read_paths = [read_paths]
+
+    if tp > 1:
+        from midas_tpu.dist.sharded import make_mesh
+        from midas_tpu.dist.species import DistributedSpeciesProfiler
+
+        mesh = make_mesh(len(jax.local_devices()), tp=tp)
+        prof = DistributedSpeciesProfiler(db, mesh=mesh, seed=seed,
+                                          **profiler_kw)
+    else:
+        prof = SpeciesProfiler(db, seed=seed, **profiler_kw)
+
+    my_paths = shard_read_paths(read_paths, pid, pcount)
+    if pcount > 1 and len(read_paths) < pcount:
+        # one shared file: stride batches instead
+        my_paths = list(read_paths)
+        prof._batch_filter = lambda bs: stride_batches(bs, pid, pcount)
+
+    unique_count, unique_bp, ambiguous = prof._run_device(
+        my_paths, read_length, max_reads, batch_size)
+    unique_count, unique_bp, ambiguous, prof.stats = (
+        merge_species_accumulators(unique_count, unique_bp, ambiguous,
+                                   prof.stats))
+    abundance = prof.assign_and_normalize(unique_count, unique_bp, ambiguous)
+    if outdir is not None and jax.process_index() == 0:
+        os.makedirs(os.path.join(outdir, "species"), exist_ok=True)
+        write_abundance(
+            os.path.join(outdir, "species/species_profile.txt"), abundance)
+    return abundance

@@ -1,0 +1,246 @@
+"""Distributed species profiling: the FULL marker-gene classifier
+(per-marker %id cutoffs, query coverage, best-score-with-ties,
+unique/ambiguous split — reference semantics midas/run/species.py:64-119)
+running over a dp x tp jax.sharding.Mesh.
+
+Axes:
+- "dp": the read batch shards across chips (the reference's
+  embarrassingly-parallel read streams).
+- "tp": the marker pack + bucketed seed index shard across chips by
+  target sequence; each rank finds its top candidates against its
+  slice, then the per-read candidate tables are reassembled with one
+  all_gather over "tp" and the classifier math runs on the gathered
+  [B/dp, tp*C] table — identical semantics to the single-chip
+  species_update (profile/device_steps.py:160), just with the
+  candidate set drawn from per-shard top-C searches.
+
+Per-species unique counts/bp merge with psum over "dp" (tp ranks hold
+identical copies after the gather); ambiguous tie rows are returned at
+global batch granularity and appended into the replicated spill buffer
+outside the shard_map, preserving stream order so the host RNG
+assignment (species.py:104-119) sees the same sequence as a
+single-chip run.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from midas_tpu.align.params import ScoringParams
+from midas_tpu.align.pipeline import _align_batch_stages
+from midas_tpu.align.seed import SeedParams, pack_words_host
+from midas_tpu.db.refpack import ReferencePack
+from midas_tpu.dist.sharded import make_mesh, shard_index
+from midas_tpu.profile import device_steps as ds
+from midas_tpu.profile.species import SpeciesProfiler
+
+NEG_INF = ds.NEG_INF
+
+
+def shard_pack_arrays(
+    pack: ReferencePack, tp: int, k: int = 14, max_occ: int = 256,
+) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray], np.ndarray]:
+    """Split a ReferencePack into tp sequence-disjoint slices and build
+    the word-packed pack_arrays + bucketed index arrays each slice's
+    rank aligns against (all stacked [tp, ...] for SPMD).
+
+    Returns (index_arrays, pack_arrays, seq_base) where seq_base[r] is
+    the global index of rank r's first sequence."""
+    codes, index_arrays, offsets, _shard_base, seq_base = shard_index(
+        pack, tp=tp, k=k, max_occ=max_occ)
+    words_l, nmask_l = [], []
+    for r in range(tp):
+        w, nm = pack_words_host(codes[r])
+        words_l.append(w)
+        nmask_l.append(nm)
+    pack_arrays = dict(
+        words=np.stack(words_l), nmask=np.stack(nmask_l),
+        offsets=offsets.astype(np.int32))
+    return index_arrays, pack_arrays, seq_base.astype(np.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "scoring", "seed_params", "max_len",
+                     "aln_cov", "n_species"),
+    donate_argnames=("state",),
+)
+def dist_species_update(
+    mesh: Mesh,
+    state: ds.SpeciesState,
+    shard_index_arrays: Dict[str, jnp.ndarray],  # each [tp, ...]
+    shard_pack_arrays: Dict[str, jnp.ndarray],   # words/nmask/offsets [tp, ...]
+    seq_base: jnp.ndarray,       # [tp] i32
+    seq_species: jnp.ndarray,    # [num_seqs] i32 (replicated)
+    seq_cutoff: jnp.ndarray,     # [num_seqs] f32 (replicated)
+    codes: jnp.ndarray,          # [B, L] global batch
+    qlens: jnp.ndarray,          # [B]
+    n_reads: jnp.ndarray,        # scalar i32
+    scoring: ScoringParams,
+    seed_params: SeedParams,
+    max_len: int,
+    aln_cov: float,
+    n_species: int,
+) -> ds.SpeciesState:
+    """One distributed species-classifier batch. The carried state is
+    replicated (its per-batch deltas are psum-merged inside); its amb
+    buffer must be (amb_cap+1, tp * seed_params.num_cands) wide."""
+    C = seed_params.num_cands
+
+    def local(codes, qlens, n_reads, idx_a, pack_a, sb, seq_species, seq_cutoff):
+        idx_a = {k: v[0] for k, v in idx_a.items()}
+        pack_a = {k: v[0] for k, v in pack_a.items()}
+        sb = sb[0]
+        Bl = codes.shape[0]
+        out = _align_batch_stages(idx_a, pack_a, codes, qlens,
+                                  scoring, seed_params, max_len)
+        dp_rank = jax.lax.axis_index("dp")
+        real = dp_rank * Bl + jnp.arange(Bl) < n_reads
+        aln = out["matches"] + out["mismatches"] + out["gap_cols"]
+        pid = 100.0 * out["matches"].astype(jnp.float32) / jnp.maximum(
+            aln.astype(jnp.float32), 1.0)
+        gseq = sb + out["seq_idx"]
+        cutoff = seq_cutoff[gseq]
+        qcov = aln.astype(jnp.float32) / jnp.maximum(
+            qlens[:, None].astype(jnp.float32), 1.0)
+        keep = (out["valid"] & (out["score"] > 0) & (pid >= cutoff)
+                & (qcov >= aln_cov) & real[:, None])
+        score_k = jnp.where(keep, out["score"], NEG_INF)
+        sp = seq_species[gseq]
+
+        # reassemble the full per-read candidate table across index shards
+        g_score = jax.lax.all_gather(score_k, "tp", axis=1, tiled=True)
+        g_aln = jax.lax.all_gather(aln, "tp", axis=1, tiled=True)
+        g_sp = jax.lax.all_gather(sp, "tp", axis=1, tiled=True)
+
+        best = jnp.max(g_score, axis=1)
+        has_hit = best > NEG_INF / 2
+        best_mask = (g_score > NEG_INF / 2) & (g_score == best[:, None])
+        n_best = jnp.sum(best_mask, axis=1)
+
+        rows = jnp.arange(Bl)
+        uniq_row = has_hit & (n_best == 1)
+        col = jnp.argmax(best_mask, axis=1)
+        spu = jnp.where(uniq_row, g_sp[rows, col], n_species)
+        d_count = jnp.zeros(n_species + 1, jnp.int32).at[spu].add(
+            jnp.where(uniq_row, 1, 0))
+        d_bp = jnp.zeros(n_species + 1, jnp.float32).at[spu].add(
+            jnp.where(uniq_row, g_aln[rows, col].astype(jnp.float32), 0.0))
+        d_count = jax.lax.psum(d_count, "dp")
+        d_bp = jax.lax.psum(d_bp, "dp")
+
+        amb_row = has_hit & (n_best >= 2)
+        amb_sp_rows = jnp.where(best_mask, g_sp, -1)
+        amb_bp_rows = jnp.where(best_mask, g_aln, 0)
+        total = jax.lax.psum(
+            jnp.sum((out["valid"] & real[:, None]).astype(jnp.int32)),
+            ("dp", "tp"))
+        return d_count, d_bp, amb_sp_rows, amb_bp_rows, amb_row, total
+
+    # check_vma=False: as in dist/sharded.py, the DP scan carry trips
+    # the static device-variance check; outputs are psum/gather-merged.
+    shard_fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("dp", None), P("dp"), P(),
+                  dict(bucket1=P("tp", None, None),
+                       bucket2=P("tp", None, None),
+                       positions2d=P("tp", None, None)),
+                  dict(words=P("tp", None), nmask=P("tp", None),
+                       offsets=P("tp", None)),
+                  P("tp"), P(), P()),
+        out_specs=(P(), P(), P("dp", None), P("dp", None), P("dp"), P()),
+        check_vma=False,
+    )
+    d_count, d_bp, amb_sp_rows, amb_bp_rows, amb_row, total = shard_fn(
+        codes, qlens, n_reads, shard_index_arrays, shard_pack_arrays,
+        seq_base, seq_species, seq_cutoff)
+
+    amb_sp, _ = ds._append_rows(state.amb_sp, state.amb_n, amb_sp_rows, amb_row)
+    amb_bp, amb_n = ds._append_rows(state.amb_bp, state.amb_n, amb_bp_rows, amb_row)
+    return ds.SpeciesState(
+        uniq_count=state.uniq_count + d_count,
+        uniq_bp=state.uniq_bp + d_bp,
+        amb_sp=amb_sp, amb_bp=amb_bp, amb_n=amb_n,
+        total_alns=state.total_alns + total,
+    )
+
+
+class DistributedSpeciesProfiler(SpeciesProfiler):
+    """SpeciesProfiler whose device classifier runs over a dp x tp mesh.
+
+    Same public surface (run() -> abundance dict); only the per-batch
+    update is distributed. On a multi-host pod, construct after
+    jax.distributed.initialize (dist/driver.py) — the mesh then spans
+    every chip in the slice and batches shard over "dp" automatically.
+    """
+
+    def __init__(self, db, mesh: Optional[Mesh] = None, tp: int = 1, **kw):
+        super().__init__(db, **kw)
+        self.mesh = mesh if mesh is not None else make_mesh(tp=tp)
+        self.tp = int(self.mesh.shape["tp"])
+        self.dp = int(self.mesh.shape["dp"])
+        idx, packa, seq_base = shard_pack_arrays(
+            self.pack, tp=self.tp, k=self.aligner.seed_params.k)
+        self.shard_index_arrays = {k: jnp.asarray(v) for k, v in idx.items()}
+        self.shard_pack_arrays = {k: jnp.asarray(v) for k, v in packa.items()}
+        self.shard_seq_base = jnp.asarray(seq_base)
+
+    def _run_device(self, read_paths, read_length, max_reads, batch_size,
+                    amb_cap: Optional[int] = None):
+        import os
+
+        from midas_tpu.io.batch import load_read_batches
+
+        n_species = len(self.species_order)
+        cap = amb_cap or int(os.environ.get("MIDAS_TPU_AMB_CAP", "262144"))
+        al = self.aligner
+        # amb rows hold the gathered [tp * C] candidate table
+        state = ds.species_init(n_species, self.tp * al.seed_params.num_cands,
+                                cap)
+        seq_species = jnp.asarray(self.seq_species)
+        seq_cutoff = jnp.asarray(self.seq_cutoff)
+        if batch_size % self.dp:
+            batch_size += self.dp - batch_size % self.dp
+        total_reads = total_bp = 0
+        batches = load_read_batches(
+            read_paths, batch_size=batch_size, max_len=al.max_read_len,
+            read_length=read_length, max_reads=max_reads,
+        )
+        if getattr(self, "_batch_filter", None):
+            batches = self._batch_filter(batches)  # multi-host striding
+        for batch in batches:
+            total_reads += batch.n_reads
+            total_bp += int(batch.lengths[: batch.n_reads].sum())
+            state = dist_species_update(
+                self.mesh, state,
+                self.shard_index_arrays, self.shard_pack_arrays,
+                self.shard_seq_base, seq_species, seq_cutoff,
+                jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                jnp.int32(batch.n_reads),
+                scoring=al.scoring, seed_params=al.seed_params,
+                max_len=al.max_read_len, aln_cov=float(self.aln_cov),
+                n_species=n_species)
+        host = jax.device_get(state)
+        amb_n = int(host.amb_n)
+        if amb_n > cap:
+            raise RuntimeError(
+                f"ambiguous-read buffer overflow ({amb_n} > {cap}): "
+                "set MIDAS_TPU_AMB_CAP higher")
+        unique_count = np.asarray(host.uniq_count[:n_species]).astype(np.int64)
+        unique_bp = np.asarray(host.uniq_bp[:n_species]).astype(np.float64)
+        ambiguous = []
+        amb_sp = np.asarray(host.amb_sp[:amb_n])
+        amb_bp = np.asarray(host.amb_bp[:amb_n])
+        for r in range(amb_n):
+            cols = np.flatnonzero(amb_sp[r] >= 0)
+            ambiguous.append((amb_sp[r, cols], amb_bp[r, cols].astype(np.float64)))
+        self.stats = dict(total_reads=total_reads, total_bp=total_bp,
+                          total_alns=int(host.total_alns))
+        return unique_count, unique_bp, ambiguous

@@ -101,6 +101,13 @@ class SpeciesProfiler:
         else:
             unique_count, unique_bp, ambiguous = self._run_host(
                 read_paths, read_length, max_reads, batch_size, m8_path)
+        return self.assign_and_normalize(unique_count, unique_bp, ambiguous)
+
+    def assign_and_normalize(self, unique_count, unique_bp, ambiguous) -> Dict:
+        """RNG assignment of ambiguous reads + coverage normalization —
+        the deterministic host tail shared by the host, single-chip, and
+        distributed classifiers (and by every host of a multi-host run,
+        which all see the same merged inputs)."""
         n_species = len(self.species_order)
 
         # probabilistic assignment of ambiguous reads (species.py:104-119)
@@ -112,6 +119,15 @@ class SpeciesProfiler:
         total_bp = self.stats["total_bp"]
         total_alns = self.stats["total_alns"]
         for sp_ids, alns in ambiguous:
+            # canonicalize tie-set order (species index, then bp) so the
+            # RNG draw below is identical no matter which classifier
+            # produced the row — host (candidate order), single-chip
+            # device, or the dp x tp distributed path (shard-major
+            # order). The reference's own order is its m8 file order,
+            # which its unseeded RNG makes unobservable anyway
+            # (species.py:113-117).
+            o = np.lexsort((alns, sp_ids))
+            sp_ids, alns = sp_ids[o], alns[o]
             weights = unique_count[sp_ids].astype(np.float64)
             if weights.sum() == 0:
                 j = pyrng.randrange(len(sp_ids))
@@ -203,11 +219,14 @@ class SpeciesProfiler:
         seq_species = jnp.asarray(self.seq_species)
         seq_cutoff = jnp.asarray(self.seq_cutoff)
         total_reads = total_bp = 0
-        for batch in load_read_batches(
+        batches = load_read_batches(
             read_paths, batch_size=batch_size,
             max_len=al.max_read_len,
             read_length=read_length, max_reads=max_reads,
-        ):
+        )
+        if getattr(self, "_batch_filter", None):
+            batches = self._batch_filter(batches)  # multi-host striding
+        for batch in batches:
             total_reads += batch.n_reads
             total_bp += int(batch.lengths[: batch.n_reads].sum())
             state = ds.species_update(
