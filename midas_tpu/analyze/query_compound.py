@@ -31,6 +31,15 @@ def load_cpd_to_enzyme(path: str) -> Dict[str, List[str]]:
     return mapping
 
 
+def packaged_cpd_to_enzyme() -> str:
+    """The 27,814-row KEGG compound->enzyme table shipped with the
+    package (midas_tpu/data/cpd_to_enzyme.txt.gz, extracted from the
+    table the reference embeds in scripts/query_by_compound.py:9-27823)."""
+    p = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "data", "cpd_to_enzyme.txt.gz")
+    return p if os.path.isfile(p) else None
+
+
 def fetch_enzymes(compound_id: str, mapping: Dict[str, List[str]]) -> List[str]:
     enzymes = mapping.get(compound_id, [])
     if not enzymes:
@@ -65,6 +74,10 @@ def query_by_compound(
             if os.path.isfile(p):
                 cpd_to_enzyme_path = p
                 break
+    if cpd_to_enzyme_path is None:
+        # packaged copy of the KEGG compound->EC table the reference
+        # embeds as 27.6k code lines (query_by_compound.py:9-27823)
+        cpd_to_enzyme_path = packaged_cpd_to_enzyme()
     if cpd_to_enzyme_path is None:
         sys.exit("Error: no cpd_to_enzyme table found; pass --cpd_to_enzyme "
                  "or add kegg/cpd_to_enzyme.txt to the database")

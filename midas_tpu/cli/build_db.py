@@ -37,7 +37,8 @@ def build_parser():
     p.add_argument("--max_evalue", type=float, default=1e-5,
                    help="Maximum e-value for marker HMM hits (1e-5)")
     p.add_argument("--resume", action="store_true", default=False,
-                   help="Accepted for compatibility")
+                   help="Skip steps whose outputs already exist non-empty "
+                        "(reference build_db.py:120-143)")
     return p
 
 

@@ -262,6 +262,36 @@ Additional information for each species can be found in the reference database:
         f.write(texts[program])
 
 
+def _check_stage_intermediates(args: dict, program: str) -> None:
+    """Stage-dependency validation (scripts/run_midas.py:506-604): a
+    later stage run alone must find the intermediates an earlier stage
+    would have produced. Our stages persist species.txt (--build_db)
+    and temp/state.npz checkpoints (--align), not BAMs."""
+    outdir = args["outdir"]
+    last = "cov" if program == "genes" else "call"
+    splist = os.path.join(outdir, program, "species.txt")
+    if not args.get("build_db") and (args.get("align") or args.get(last)):
+        if not os.path.isfile(splist):
+            sys.exit(f"\nError: no species list: {splist}\n"
+                     f"To use --align or --{'call_genes' if program == 'genes' else 'pileup'} "
+                     "you must have already run --build_db\n")
+    if args.get(last) and not args.get("align") and not args.get("build_db"):
+        state = os.path.join(outdir, program, "temp/state.npz")
+        if not os.path.isfile(state):
+            sys.exit(f"\nError: no alignment state: {state}\n"
+                     "To use this stage alone you must have already run --align\n")
+    # species selection flags need the species profile (ref :516-520)
+    if args.get("build_db") and (args.get("species_cov") is not None
+                                 or args.get("species_topn")):
+        profile = os.path.join(outdir, "species/species_profile.txt")
+        if not os.path.isfile(profile) and not args.get("species_id"):
+            sys.exit(f"\nError: Could not find species abundance profile: {profile}\n"
+                     "To specify species with --species_topn or --species_cov you "
+                     "must have run: run_midas.py species\n"
+                     "Alternatively, you can manually specify one or more species "
+                     "using --species_id\n")
+
+
 def _setup_outdir(args: dict, program: str):
     outdir = args["outdir"]
     os.makedirs(outdir, exist_ok=True)
@@ -288,6 +318,12 @@ def main(argv=None):
         if not any(args.get(k) for k in stage_keys):
             for k in stage_keys:
                 args[k] = True
+        # default species selection: coverage >= 3.0 when no selection
+        # flag is given (scripts/run_midas.py:511-513)
+        if not any([args.get("species_id"), args.get("species_topn"),
+                    args.get("species_cov") is not None]):
+            args["species_cov"] = 3.0
+        _check_stage_intermediates(args, program)
     log = _setup_outdir(args, program)
     args["log"] = log
     write_readme(program, args)

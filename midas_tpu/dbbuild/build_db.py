@@ -83,16 +83,28 @@ def run_build(args: Dict) -> None:
     os.makedirs(outdir, exist_ok=True)
     rows = parse_mapping_file(args["mapfile"])
 
-    # group genomes by species; pick rep
+    # group genomes by species; pick rep. --max_genomes caps mapfile-order
+    # genomes per species, like the reference (read_species,
+    # build_db.py:234-258: genomes past the cap are dropped but the rep
+    # flag of a kept genome still wins)
+    max_genomes = args.get("max_genomes") or float("inf")
     species: Dict[str, dict] = {}
     for r in rows:
         sp = species.setdefault(r["species_id"], dict(genomes=[], rep=None))
-        sp["genomes"].append(r["genome_id"])
-        if r.get("rep_genome") == "1" or sp["rep"] is None:
-            sp["rep"] = r["genome_id"]
+        if len(sp["genomes"]) < max_genomes:
+            sp["genomes"].append(r["genome_id"])
+            if r.get("rep_genome") == "1" or sp["rep"] is None:
+                sp["rep"] = r["genome_id"]
     if args.get("max_species"):
         keep = list(species)[: args["max_species"]]
         species = {k: species[k] for k in keep}
+    resume = bool(args.get("resume"))
+
+    def _done(*paths) -> bool:
+        """--resume: skip a step whose outputs already exist non-empty
+        (the reference's checks at build_db.py:120-143, 316-318, 367)."""
+        return resume and all(
+            os.path.exists(p) and os.stat(p).st_size > 0 for p in paths)
 
     indir = args["indir"]
 
@@ -115,6 +127,9 @@ def run_build(args: Dict) -> None:
     for sid, sp in species.items():
         pdir = os.path.join(outdir, "pan_genomes", sid)
         os.makedirs(pdir, exist_ok=True)
+        if _done(os.path.join(pdir, "centroids.ffn"),
+                 os.path.join(pdir, "gene_info.txt")):
+            continue
         names, seqs, genome_of = [], [], {}
         for gid in sp["genomes"]:
             for name, seq in _read_fasta(gpath(gid, "ffn")).items():
@@ -146,6 +161,9 @@ def run_build(args: Dict) -> None:
     for sid, sp in species.items():
         rdir = os.path.join(outdir, "rep_genomes", sid)
         os.makedirs(rdir, exist_ok=True)
+        if _done(os.path.join(rdir, "genome.fna"),
+                 os.path.join(rdir, "genome.features")):
+            continue
         rep = sp["rep"]
         shutil.copy(gpath(rep, "fna"), os.path.join(rdir, "genome.fna"))
         contigs = [[cid, seq] for cid, seq in _read_fasta(gpath(rep, "fna")).items()]
@@ -161,6 +179,12 @@ def run_build(args: Dict) -> None:
     # 5. marker genes
     mdir = os.path.join(outdir, "marker_genes")
     os.makedirs(mdir, exist_ok=True)
+    if _done(os.path.join(mdir, "phyeco.fa"), os.path.join(mdir, "phyeco.map"),
+             os.path.join(mdir, "phyeco.mapping_cutoffs")):
+        _install_kegg(outdir)
+        if args.get("compress"):
+            _compress(outdir)
+        return
     hmm_path = args.get("hmms")
     marker_rows = []
     marker_seqs = {}
@@ -207,8 +231,25 @@ def run_build(args: Dict) -> None:
         for marker_id, cutoff in DEFAULT_MARKER_CUTOFFS.items():
             f.write(f"{marker_id}\t{cutoff}\n")
 
+    _install_kegg(outdir)
     if args.get("compress"):
         _compress(outdir)
+
+
+def _install_kegg(outdir: str) -> None:
+    """Ship the packaged KEGG cpd_to_enzyme table into the DB so
+    query_by_compound works out of the box (the reference embeds the
+    table in the script itself, query_by_compound.py:9-27823)."""
+    from midas_tpu.analyze.query_compound import packaged_cpd_to_enzyme
+
+    src = packaged_cpd_to_enzyme()
+    if src is None:
+        return
+    kdir = os.path.join(outdir, "kegg")
+    os.makedirs(kdir, exist_ok=True)
+    dst = os.path.join(kdir, "cpd_to_enzyme.txt.gz")
+    if not os.path.exists(dst):
+        shutil.copy(src, dst)
 
 
 def _compress(outdir: str) -> None:

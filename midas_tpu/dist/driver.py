@@ -80,24 +80,28 @@ def merge_species_accumulators(
 
     g_count = np.asarray(mh.process_allgather(unique_count)).sum(axis=0)
     g_bp = np.asarray(mh.process_allgather(unique_bp)).sum(axis=0)
-    # pack this host's ambiguous rows into one padded array
+    # pack this host's ambiguous (seq, species, aln) rows into padded arrays
     n = len(ambiguous)
-    width = max([len(s) for s, _ in ambiguous], default=1)
+    width = max([len(s) for _q, s, _a in ambiguous], default=1)
     n_max = int(np.asarray(mh.process_allgather(np.int64(n))).max())
     w_max = int(np.asarray(mh.process_allgather(np.int64(width))).max())
     sp = np.full((max(n_max, 1), w_max), -1, dtype=np.int64)
     bp = np.zeros((max(n_max, 1), w_max), dtype=np.float64)
-    for r, (s, a) in enumerate(ambiguous):
+    sq = np.zeros((max(n_max, 1), w_max), dtype=np.int64)
+    for r, (q, s, a) in enumerate(ambiguous):
+        sq[r, : len(q)] = q
         sp[r, : len(s)] = s
         bp[r, : len(a)] = a
     counts = np.asarray(mh.process_allgather(np.int64(n)))
     g_sp = np.asarray(mh.process_allgather(sp))    # [P, n_max, w]
     g_abp = np.asarray(mh.process_allgather(bp))
+    g_sq = np.asarray(mh.process_allgather(sq))
     merged = []
     for p in range(g_sp.shape[0]):
         for r in range(int(counts[p])):
             cols = np.flatnonzero(g_sp[p, r] >= 0)
-            merged.append((g_sp[p, r, cols], g_abp[p, r, cols]))
+            merged.append((g_sq[p, r, cols], g_sp[p, r, cols],
+                           g_abp[p, r, cols]))
     g_stats = {
         k: int(np.asarray(mh.process_allgather(np.int64(v))).sum())
         for k, v in stats.items()

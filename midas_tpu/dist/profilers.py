@@ -1,0 +1,431 @@
+"""Distributed CNV (genes) and SNP-pileup profiling over a dp x tp
+jax.sharding.Mesh — the TPU replacement for the reference's fork pools
+and per-species pileup workers (midas/utility.py:81-107,
+midas/run/snps.py:219-244) and the index sharding the reference never
+needed because per-sample indexes fit host RAM (a 5,952-species
+pangenome DB does not fit one chip's HBM).
+
+Axes, as in dist/species.py:
+- "dp": read batches shard across chips; per-gene / per-site count
+  deltas merge with psum over "dp".
+- "tp": the pangenome / rep-genome pack + bucketed seed index shard
+  across chips by target sequence. Each rank finds its top-C candidates
+  against its slice; one all_gather over "tp" rebuilds the full
+  per-read candidate table ([B/dp, tp*C]) so best-hit choice, MAPQ, and
+  the four keep_read filters see every shard's hits (reference filter
+  semantics: genes.py:153-169, snps.py:141-162).
+
+The SNP pileup count tensor is the one genuinely large accumulator
+([4 x genome] — GBs for many species), so it stays SHARDED over "tp":
+each rank owns the count stripe of its pack slice and scatters only
+reads whose chosen best hit lands in that slice (the gathered table is
+rank-major, so owner = best_col // C). This is the device analogue of
+the reference's per-species forked pileups + line-range shards
+(midas/merge/snps.py:366-386) with psum instead of temp files.
+
+With tp=1 the gathered table equals the single-chip candidate table, so
+results are bit-identical to the single-device profilers (tested); with
+tp>1 the candidate pool is a superset drawn per shard, so argmax
+tie-breaking among equal-scoring multi-mapped hits can differ — same
+class of nondeterminism as the reference's unseeded RNG
+(species.py:113-117) and bowtie2's own multimapper arbitration.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from midas_tpu.align.params import ScoringParams
+from midas_tpu.align.pipeline import _align_batch_stages
+from midas_tpu.align.seed import SeedParams, revcomp_batch
+from midas_tpu.dist.sharded import make_mesh
+from midas_tpu.dist.species import shard_pack_arrays
+from midas_tpu.profile import device_steps as ds
+from midas_tpu.profile.genes import GenesProfiler
+from midas_tpu.profile.snps import SnpsProfiler
+
+NEG_INF = ds.NEG_INF
+
+_GATHER_KEYS = ("valid", "score", "seq_idx", "strand", "tstart", "tend",
+                "qstart", "qend", "matches", "mismatches", "gap_cols",
+                "gap_opens")
+
+
+def _local_and_gathered(idx_a, pack_a, sb, codes, qlens, scoring,
+                        seed_params, max_len):
+    """Align the dp-local batch against the tp-local slice, then
+    all_gather the per-read candidate planes over "tp" (rank-major
+    column order) with seq_idx lifted to global ids."""
+    idx_a = {k: v[0] for k, v in idx_a.items()}
+    pack_a = {k: v[0] for k, v in pack_a.items()}
+    sb = sb[0]
+    out = _align_batch_stages(idx_a, pack_a, codes, qlens,
+                              scoring, seed_params, max_len)
+    gat = {}
+    for k in _GATHER_KEYS:
+        v = sb + out[k] if k == "seq_idx" else out[k]
+        gat[k] = jax.lax.all_gather(v, "tp", axis=1, tiled=True)
+    return out, gat
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "num_genes", "scoring", "seed_params", "max_len",
+                     "mapid", "readq", "min_mapq", "aln_cov", "paired",
+                     "maxins"),
+    donate_argnames=("state",),
+)
+def dist_genes_update(
+    mesh: Mesh,
+    state: ds.GenesState,
+    shard_index_arrays: Dict[str, jnp.ndarray],
+    shard_pack_arrays_: Dict[str, jnp.ndarray],
+    seq_base: jnp.ndarray,
+    num_genes: int,
+    codes: jnp.ndarray,
+    qlens: jnp.ndarray,
+    mean_qual: jnp.ndarray,
+    n_reads: jnp.ndarray,
+    scoring: ScoringParams,
+    seed_params: SeedParams,
+    max_len: int,
+    mapid: float,
+    readq: float,
+    min_mapq: int,
+    aln_cov: float,
+    paired: bool = False,
+    maxins: int = 500,
+) -> ds.GenesState:
+    """One distributed CNV batch; replicated [G+1] accumulators updated
+    with psum-merged deltas (genes.py:153-203 semantics)."""
+    G = num_genes
+
+    def local(codes, qlens, mean_qual, n_reads, idx_a, pack_a, sb):
+        Bl = codes.shape[0]
+        _out, g = _local_and_gathered(idx_a, pack_a, sb, codes, qlens,
+                                      scoring, seed_params, max_len)
+        dp_rank = jax.lax.axis_index("dp")
+        real = dp_rank * Bl + jnp.arange(Bl) < n_reads
+        if paired:
+            aligned, best_col, mapq = ds.paired_best_hit_device(
+                g, qlens, scoring, maxins=maxins)
+        else:
+            aligned, best_col, mapq = ds.best_hit_device(g, qlens, scoring)
+        aligned = aligned & real
+        gi = ds._pick(g["seq_idx"], best_col)
+        ga = jnp.where(aligned, gi, G)
+        d_aligned = jnp.zeros(G + 1, jnp.int32).at[ga].add(
+            jnp.where(aligned, 1, 0))
+        keep = aligned & ds.keep_mask_device(g, best_col, qlens, mean_qual,
+                                             mapq, mapid, readq, min_mapq,
+                                             aln_cov)
+        gk = jnp.where(keep, gi, G)
+        d_mapped = jnp.zeros(G + 1, jnp.int32).at[gk].add(
+            jnp.where(keep, 1, 0))
+        alen = ds._pick(g["qend"], best_col) - ds._pick(g["qstart"], best_col)
+        d_bp = jnp.zeros(G + 1, jnp.int32).at[gk].add(
+            jnp.where(keep, alen, 0))
+        return (jax.lax.psum(d_aligned, "dp"), jax.lax.psum(d_mapped, "dp"),
+                jax.lax.psum(d_bp, "dp"))
+
+    shard_fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("dp", None), P("dp"), P("dp"), P(),
+                  dict(bucket1=P("tp", None, None),
+                       bucket2=P("tp", None, None),
+                       positions2d=P("tp", None, None)),
+                  dict(words=P("tp", None), nmask=P("tp", None),
+                       offsets=P("tp", None)),
+                  P("tp")),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    d_aligned, d_mapped, d_bp = shard_fn(
+        codes, qlens, mean_qual, n_reads,
+        shard_index_arrays, shard_pack_arrays_, seq_base)
+    return ds.GenesState(
+        aligned_reads=state.aligned_reads + d_aligned,
+        mapped_reads=state.mapped_reads + d_mapped,
+        bp=state.bp + d_bp,
+    )
+
+
+class DistributedGenesProfiler(GenesProfiler):
+    """GenesProfiler over a dp x tp mesh; same run()/write_results()
+    surface, only the per-batch update is distributed."""
+
+    def __init__(self, db, species_ids, mesh: Optional[Mesh] = None,
+                 tp: int = 1, **kw):
+        super().__init__(db, species_ids, **kw)
+        self.mesh = mesh if mesh is not None else make_mesh(tp=tp)
+        self.tp = int(self.mesh.shape["tp"])
+        self.dp = int(self.mesh.shape["dp"])
+        idx, packa, seq_base = shard_pack_arrays(
+            self.pack, tp=self.tp, k=self.aligner.seed_params.k)
+        self.shard_index_arrays = {k: jnp.asarray(v) for k, v in idx.items()}
+        self.shard_pack = {k: jnp.asarray(v) for k, v in packa.items()}
+        self.shard_seq_base = jnp.asarray(seq_base)
+
+    def _accumulate(self, read_paths, max_reads, trim, batch_size,
+                    checkpoint_path=None, checkpoint_every: int = 64,
+                    paired: bool = False, interleaved: bool = False):
+        from midas_tpu.io.prefetch import prefetch_device_batches
+        from midas_tpu.profile.common import select_batches
+
+        G = self.pack.num_seqs
+        al = self.aligner
+        state = ds.genes_init(G)
+        if batch_size % self.dp:
+            batch_size += self.dp - batch_size % self.dp
+        batches = select_batches(read_paths, batch_size, al.max_read_len,
+                                 max_reads, paired, interleaved)
+        for db in prefetch_device_batches(
+                batches, ("codes", "lengths", "mean_qual"), trim=trim):
+            codes, lengths, mean_qual, n_reads = db.arrays
+            state = dist_genes_update(
+                self.mesh, state, self.shard_index_arrays, self.shard_pack,
+                self.shard_seq_base, G, codes, lengths, mean_qual, n_reads,
+                scoring=al.scoring, seed_params=al.seed_params,
+                max_len=al.max_read_len, mapid=float(self.mapid),
+                readq=float(self.readq), min_mapq=int(self.mapq),
+                aln_cov=float(self.aln_cov), paired=bool(paired))
+        return ds.genes_state_host(state)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "scoring", "seed_params", "max_len", "mapid",
+                     "readq", "min_mapq", "baseq", "aln_cov", "stripe_len",
+                     "paired", "maxins"),
+    donate_argnames=("counts", "state"),
+)
+def dist_snps_update(
+    mesh: Mesh,
+    counts: jnp.ndarray,            # [tp, 4*(stripe_len+1)] sharded over tp
+    state: ds.SnpsState,            # replicated (counts field unused: [1])
+    shard_index_arrays: Dict[str, jnp.ndarray],
+    shard_pack_arrays_: Dict[str, jnp.ndarray],
+    seq_base: jnp.ndarray,
+    contig_species: jnp.ndarray,    # [num_seqs] global, replicated
+    codes: jnp.ndarray,
+    quals: jnp.ndarray,
+    qlens: jnp.ndarray,
+    mean_qual: jnp.ndarray,
+    n_reads: jnp.ndarray,
+    scoring: ScoringParams,
+    seed_params: SeedParams,
+    max_len: int,
+    mapid: float,
+    readq: float,
+    min_mapq: int,
+    baseq: int,
+    aln_cov: float,
+    stripe_len: int,
+    paired: bool = False,
+    maxins: int = 500,
+) -> Tuple[jnp.ndarray, ds.SnpsState]:
+    """One distributed pileup batch. The count tensor stays sharded over
+    "tp" (each rank owns its pack slice's stripe); per-species read
+    counters psum over "dp"; kept gapped reads return as replicated
+    global-coordinate rows and append to the replicated spill buffer."""
+    S = state.aligned_reads.shape[0] - 1
+    C = seed_params.num_cands
+
+    def local(counts, codes, quals, qlens, mean_qual, n_reads,
+              idx_a, pack_a, sb, contig_species):
+        Bl, L = codes.shape
+        counts = counts[0]
+        out, g = _local_and_gathered(idx_a, pack_a, sb, codes, qlens,
+                                     scoring, seed_params, max_len)
+        dp_rank = jax.lax.axis_index("dp")
+        tp_rank = jax.lax.axis_index("tp")
+        real = dp_rank * Bl + jnp.arange(Bl) < n_reads
+        if paired:
+            aligned, best_col, mapq = ds.paired_best_hit_device(
+                g, qlens, scoring, maxins=maxins)
+        else:
+            aligned, best_col, mapq = ds.best_hit_device(g, qlens, scoring)
+        aligned = aligned & real
+        gci = ds._pick(g["seq_idx"], best_col)
+        sp = contig_species[gci]
+        d_aligned = jnp.zeros(S + 1, jnp.int32).at[
+            jnp.where(aligned, sp, S)].add(jnp.where(aligned, 1, 0))
+        keep = aligned & ds.keep_mask_device(g, best_col, qlens, mean_qual,
+                                             mapq, mapid, readq, min_mapq,
+                                             aln_cov)
+        d_mapped = jnp.zeros(S + 1, jnp.int32).at[
+            jnp.where(keep, sp, S)].add(jnp.where(keep, 1, 0))
+
+        # strand-adjusted query/qual planes (identical on all ranks)
+        strand = ds._pick(g["strand"], best_col)
+        rc_codes = revcomp_batch(codes, qlens)
+        j = jnp.arange(L, dtype=jnp.int32)[None, :]
+        ridx = jnp.clip(qlens[:, None] - 1 - j, 0, L - 1)
+        rc_quals = jnp.where(qlens[:, None] - 1 - j >= 0,
+                             jnp.take_along_axis(quals, ridx, axis=1), 0)
+        qsel = jnp.where(strand[:, None] == 1, rc_codes, codes)
+        qqsel = jnp.where(strand[:, None] == 1, rc_quals,
+                          quals).astype(jnp.int32)
+
+        # this rank scatters only reads whose best hit is in its slice
+        # (gathered columns are rank-major: owner = best_col // C)
+        owner = best_col // C
+        lc = best_col % C           # local candidate column when owned
+        mine = keep & (owner == tp_rank)
+        gapless = ds._pick(g["gap_cols"], best_col) == 0
+        qs = ds._pick(g["qstart"], best_col)
+        qe = ds._pick(g["qend"], best_col)
+        ts = ds._pick(g["tstart"], best_col)
+        lci = ds._pick(out["seq_idx"], lc)          # local seq id
+        seq_lo = pack_a["offsets"][0][lci].astype(jnp.int32)
+        Gs = stripe_len
+        scatter_row = mine & gapless
+        in_aln = (j >= qs[:, None]) & (j < qe[:, None])
+        tpos = seq_lo[:, None] + ts[:, None] + (j - qs[:, None])
+        base = qsel.astype(jnp.int32)
+        ok = (scatter_row[:, None] & in_aln & (qqsel >= baseq) & (base < 4)
+              & (tpos >= 0) & (tpos < Gs))
+        flat_idx = jnp.where(ok, jnp.clip(base, 0, 3) * (Gs + 1) + tpos, Gs)
+        # the stripe is sharded over "tp" but REPLICATED over "dp": each
+        # dp rank scatters different reads, so accumulate into a zero
+        # delta and psum over "dp" before adding to the carried stripe
+        delta = jnp.zeros_like(counts).at[flat_idx.reshape(-1)].add(1)
+        counts = counts + jax.lax.psum(delta, "dp")
+
+        # gapped spill in GLOBAL coordinates (identical on all ranks):
+        # a non-tiled dp gather rebuilds full-batch rows so the append
+        # outside the shard_map sees stream order
+        is_gap = keep & ~gapless
+        te = ds._pick(g["tend"], best_col)
+        meta = jnp.stack([gci, ts, te, qlens], axis=1)
+        g_codes = jax.lax.all_gather(qsel.astype(jnp.int8), "dp",
+                                     axis=0, tiled=True)
+        g_quals = jax.lax.all_gather(qqsel.astype(jnp.int8), "dp",
+                                     axis=0, tiled=True)
+        g_meta = jax.lax.all_gather(meta, "dp", axis=0, tiled=True)
+        g_isgap = jax.lax.all_gather(is_gap, "dp", axis=0, tiled=True)
+        return (counts[None], jax.lax.psum(d_aligned, "dp"),
+                jax.lax.psum(d_mapped, "dp"),
+                g_codes, g_quals, g_meta, g_isgap)
+
+    shard_fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("tp", None), P("dp", None), P("dp", None), P("dp"),
+                  P("dp"), P(),
+                  dict(bucket1=P("tp", None, None),
+                       bucket2=P("tp", None, None),
+                       positions2d=P("tp", None, None)),
+                  dict(words=P("tp", None), nmask=P("tp", None),
+                       offsets=P("tp", None)),
+                  P("tp"), P()),
+        out_specs=(P("tp", None), P(), P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    counts, d_aligned, d_mapped, g_codes, g_quals, g_meta, g_isgap = shard_fn(
+        counts, codes, quals, qlens, mean_qual, n_reads,
+        shard_index_arrays, shard_pack_arrays_, seq_base, contig_species)
+
+    gap_codes, _ = ds._append_rows(state.gap_codes, state.gap_n,
+                                   g_codes, g_isgap)
+    gap_quals, _ = ds._append_rows(state.gap_quals, state.gap_n,
+                                   g_quals, g_isgap)
+    gap_meta, gap_n = ds._append_rows(state.gap_meta, state.gap_n,
+                                      g_meta, g_isgap)
+    new_state = ds.SnpsState(
+        counts=state.counts,
+        aligned_reads=state.aligned_reads + d_aligned,
+        mapped_reads=state.mapped_reads + d_mapped,
+        gap_codes=gap_codes, gap_quals=gap_quals, gap_meta=gap_meta,
+        gap_n=gap_n)
+    return counts, new_state
+
+
+class DistributedSnpsProfiler(SnpsProfiler):
+    """SnpsProfiler over a dp x tp mesh with the [4 x genome] pileup
+    count tensor sharded over "tp" (each chip holds 1/tp of the genome
+    stripe — the accumulator that cannot be replicated at DB scale)."""
+
+    def __init__(self, db, species_ids, mesh: Optional[Mesh] = None,
+                 tp: int = 1, **kw):
+        super().__init__(db, species_ids, **kw)
+        self.mesh = mesh if mesh is not None else make_mesh(tp=tp)
+        self.tp = int(self.mesh.shape["tp"])
+        self.dp = int(self.mesh.shape["dp"])
+        from midas_tpu.dist.sharded import shard_index
+
+        codes_, idx, offsets, shard_base, seq_base = shard_index(
+            self.pack, tp=self.tp, k=self.aligner.seed_params.k)
+        from midas_tpu.align.seed import pack_words_host
+
+        words_l, nmask_l = [], []
+        for r in range(self.tp):
+            w, nm = pack_words_host(codes_[r])
+            words_l.append(w)
+            nmask_l.append(nm)
+        self.shard_index_arrays = {k: jnp.asarray(v) for k, v in idx.items()}
+        self.shard_pack = dict(words=jnp.asarray(np.stack(words_l)),
+                               nmask=jnp.asarray(np.stack(nmask_l)),
+                               offsets=jnp.asarray(offsets))
+        self.shard_seq_base = jnp.asarray(seq_base.astype(np.int32))
+        self.shard_base = shard_base.astype(np.int64)
+        # per-rank real stripe lengths (offsets[-1] of each slice)
+        self.stripe_real = np.asarray(offsets)[:, -1].astype(np.int64)
+        self.stripe_len = int(self.stripe_real.max())
+
+    def _accumulate(self, read_paths, max_reads, trim, batch_size,
+                    gap_cap=None, checkpoint_path=None,
+                    checkpoint_every: int = 64, paired: bool = False,
+                    interleaved: bool = False) -> Dict:
+        import os
+
+        from midas_tpu.io.prefetch import prefetch_device_batches
+        from midas_tpu.profile.common import select_batches
+
+        S = len(self.species_ids)
+        al = self.aligner
+        L = al.max_read_len
+        cap = gap_cap or int(os.environ.get("MIDAS_TPU_GAP_CAP", "131072"))
+        # replicated spill/counter state; the real counts live sharded
+        state = ds.snps_init(0, S, cap, L)
+        counts = jnp.zeros((self.tp, 4 * (self.stripe_len + 1)), jnp.int32)
+        contig_species = jnp.asarray(self.contig_species)
+        if batch_size % self.dp:
+            batch_size += self.dp - batch_size % self.dp
+        batches = select_batches(read_paths, batch_size, L, max_reads,
+                                 paired, interleaved)
+        for db in prefetch_device_batches(
+                batches, ("codes", "quals", "lengths", "mean_qual"),
+                trim=trim):
+            codes, quals, lengths, mean_qual, n_reads = db.arrays
+            counts, state = dist_snps_update(
+                self.mesh, counts, state, self.shard_index_arrays,
+                self.shard_pack, self.shard_seq_base, contig_species,
+                codes, quals, lengths, mean_qual, n_reads,
+                scoring=al.scoring, seed_params=al.seed_params, max_len=L,
+                mapid=float(self.mapid), readq=float(self.readq),
+                min_mapq=int(self.mapq), baseq=int(self.baseq),
+                aln_cov=float(self.aln_cov), stripe_len=self.stripe_len,
+                paired=bool(paired))
+        host = ds.snps_state_host(state)
+        if int(host["gap_n"]) > cap:
+            raise RuntimeError(
+                f"gapped-read buffer overflow ({int(host['gap_n'])} > {cap}):"
+                " set MIDAS_TPU_GAP_CAP higher")
+        # reassemble the sharded stripes into the single-chip counts
+        # layout _finalize expects: flat [4 * (G_total + 1)]
+        stripes = np.asarray(jax.device_get(counts))
+        G = self.pack.total_len
+        full = np.zeros((4, G + 1), dtype=np.int32)
+        for r in range(self.tp):
+            Lr = int(self.stripe_real[r])
+            lo = int(self.shard_base[r])
+            stripe = stripes[r].reshape(4, self.stripe_len + 1)
+            full[:, lo: lo + Lr] += stripe[:, :Lr]
+        host["counts"] = full.reshape(-1)
+        return host

@@ -118,6 +118,7 @@ def dist_species_update(
         g_score = jax.lax.all_gather(score_k, "tp", axis=1, tiled=True)
         g_aln = jax.lax.all_gather(aln, "tp", axis=1, tiled=True)
         g_sp = jax.lax.all_gather(sp, "tp", axis=1, tiled=True)
+        g_seq = jax.lax.all_gather(gseq, "tp", axis=1, tiled=True)
 
         best = jnp.max(g_score, axis=1)
         has_hit = best > NEG_INF / 2
@@ -138,10 +139,11 @@ def dist_species_update(
         amb_row = has_hit & (n_best >= 2)
         amb_sp_rows = jnp.where(best_mask, g_sp, -1)
         amb_bp_rows = jnp.where(best_mask, g_aln, 0)
+        amb_seq_rows = jnp.where(best_mask, g_seq, 0)
         total = jax.lax.psum(
             jnp.sum((out["valid"] & real[:, None]).astype(jnp.int32)),
             ("dp", "tp"))
-        return d_count, d_bp, amb_sp_rows, amb_bp_rows, amb_row, total
+        return d_count, d_bp, amb_sp_rows, amb_bp_rows, amb_seq_rows, amb_row, total
 
     # check_vma=False: as in dist/sharded.py, the DP scan carry trips
     # the static device-variance check; outputs are psum/gather-merged.
@@ -155,19 +157,22 @@ def dist_species_update(
                   dict(words=P("tp", None), nmask=P("tp", None),
                        offsets=P("tp", None)),
                   P("tp"), P(), P()),
-        out_specs=(P(), P(), P("dp", None), P("dp", None), P("dp"), P()),
+        out_specs=(P(), P(), P("dp", None), P("dp", None), P("dp", None),
+                   P("dp"), P()),
         check_vma=False,
     )
-    d_count, d_bp, amb_sp_rows, amb_bp_rows, amb_row, total = shard_fn(
-        codes, qlens, n_reads, shard_index_arrays, shard_pack_arrays,
-        seq_base, seq_species, seq_cutoff)
+    d_count, d_bp, amb_sp_rows, amb_bp_rows, amb_seq_rows, amb_row, total = \
+        shard_fn(codes, qlens, n_reads, shard_index_arrays, shard_pack_arrays,
+                 seq_base, seq_species, seq_cutoff)
 
     amb_sp, _ = ds._append_rows(state.amb_sp, state.amb_n, amb_sp_rows, amb_row)
-    amb_bp, amb_n = ds._append_rows(state.amb_bp, state.amb_n, amb_bp_rows, amb_row)
+    amb_bp, _ = ds._append_rows(state.amb_bp, state.amb_n, amb_bp_rows, amb_row)
+    amb_seq, amb_n = ds._append_rows(state.amb_seq, state.amb_n, amb_seq_rows,
+                                     amb_row)
     return ds.SpeciesState(
         uniq_count=state.uniq_count + d_count,
         uniq_bp=state.uniq_bp + d_bp,
-        amb_sp=amb_sp, amb_bp=amb_bp, amb_n=amb_n,
+        amb_sp=amb_sp, amb_bp=amb_bp, amb_seq=amb_seq, amb_n=amb_n,
         total_alns=state.total_alns + total,
     )
 
@@ -193,10 +198,12 @@ class DistributedSpeciesProfiler(SpeciesProfiler):
         self.shard_seq_base = jnp.asarray(seq_base)
 
     def _run_device(self, read_paths, read_length, max_reads, batch_size,
-                    amb_cap: Optional[int] = None):
+                    amb_cap: Optional[int] = None, checkpoint_path=None,
+                    checkpoint_every: int = 64):
         import os
 
         from midas_tpu.io.batch import load_read_batches
+        from midas_tpu.io.prefetch import prefetch_device_batches
 
         n_species = len(self.species_order)
         cap = amb_cap or int(os.environ.get("MIDAS_TPU_AMB_CAP", "262144"))
@@ -215,32 +222,34 @@ class DistributedSpeciesProfiler(SpeciesProfiler):
         )
         if getattr(self, "_batch_filter", None):
             batches = self._batch_filter(batches)  # multi-host striding
-        for batch in batches:
-            total_reads += batch.n_reads
-            total_bp += int(batch.lengths[: batch.n_reads].sum())
+        for db in prefetch_device_batches(batches, ("codes", "lengths")):
+            total_reads += db.n_reads
+            total_bp += db.total_bp
+            codes, lengths, n_reads = db.arrays
             state = dist_species_update(
                 self.mesh, state,
                 self.shard_index_arrays, self.shard_pack_arrays,
                 self.shard_seq_base, seq_species, seq_cutoff,
-                jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
-                jnp.int32(batch.n_reads),
+                codes, lengths, n_reads,
                 scoring=al.scoring, seed_params=al.seed_params,
                 max_len=al.max_read_len, aln_cov=float(self.aln_cov),
                 n_species=n_species)
-        host = jax.device_get(state)
-        amb_n = int(host.amb_n)
+        host = ds.species_state_host(state)
+        amb_n = int(host["amb_n"])
         if amb_n > cap:
             raise RuntimeError(
                 f"ambiguous-read buffer overflow ({amb_n} > {cap}): "
                 "set MIDAS_TPU_AMB_CAP higher")
-        unique_count = np.asarray(host.uniq_count[:n_species]).astype(np.int64)
-        unique_bp = np.asarray(host.uniq_bp[:n_species]).astype(np.float64)
+        unique_count = host["uniq_count"][:n_species].astype(np.int64)
+        unique_bp = host["uniq_bp"][:n_species].astype(np.float64)
         ambiguous = []
-        amb_sp = np.asarray(host.amb_sp[:amb_n])
-        amb_bp = np.asarray(host.amb_bp[:amb_n])
+        amb_sp = host["amb_sp"]
+        amb_bp = host["amb_bp"]
+        amb_seq = host["amb_seq"]
         for r in range(amb_n):
             cols = np.flatnonzero(amb_sp[r] >= 0)
-            ambiguous.append((amb_sp[r, cols], amb_bp[r, cols].astype(np.float64)))
+            ambiguous.append((amb_seq[r, cols], amb_sp[r, cols],
+                              amb_bp[r, cols].astype(np.float64)))
         self.stats = dict(total_reads=total_reads, total_bp=total_bp,
-                          total_alns=int(host.total_alns))
+                          total_alns=int(host["total_alns"]))
         return unique_count, unique_bp, ambiguous

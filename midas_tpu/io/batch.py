@@ -109,3 +109,64 @@ def load_read_batches(
             buf = []
     if buf:
         yield batch_reads(buf, batch_size, max_len)
+
+
+def load_paired_batches(
+    m1: str,
+    m2: Optional[str] = None,
+    batch_size: int = 1024,
+    max_len: int = 128,
+    read_length: Optional[int] = None,
+    max_reads: Optional[int] = None,
+    interleaved: bool = False,
+) -> Iterator[ReadBatch]:
+    """Mate-paired batches: mate 1 of pair i at row 2i, mate 2 at row
+    2i+1 (the layout device_steps.paired_best_hit_device expects).
+
+    Two input shapes, mirroring bowtie2's (reference call sites
+    midas/run/genes.py:127-132, snps.py:109-114):
+    - `-1 f1 -2 f2`: two lock-step files; implemented by interleaving
+      rows of two half-size single-file batch streams, so the native
+      C++ reader keeps doing the parsing.
+    - `--interleaved f`: one file with mates already alternating; an
+      even batch_size keeps pairs intact, so this IS plain batching.
+
+    max_reads counts PAIRS here (bowtie2 -u semantics for paired input).
+    Raises on mate-count mismatch between -1 and -2."""
+    if batch_size % 2:
+        batch_size += 1
+    if interleaved or m2 is None:
+        yield from load_read_batches(
+            [m1], batch_size=batch_size, max_len=max_len,
+            read_length=read_length,
+            max_reads=2 * max_reads if max_reads else None)
+        return
+    half = batch_size // 2
+    it1 = load_read_batches([m1], batch_size=half, max_len=max_len,
+                            read_length=read_length, max_reads=max_reads)
+    it2 = load_read_batches([m2], batch_size=half, max_len=max_len,
+                            read_length=read_length, max_reads=max_reads)
+    sentinel = object()
+    from itertools import zip_longest
+
+    for b1, b2 in zip_longest(it1, it2, fillvalue=sentinel):
+        if b1 is sentinel or b2 is sentinel or b1.n_reads != b2.n_reads:
+            raise ValueError(
+                "paired input files have different read counts "
+                "(-1 and -2 must have matching mates)")
+        B, L = batch_size, max_len
+        codes = np.full((B, L), PAD_CODE, dtype=np.int8)
+        quals = np.zeros((B, L), dtype=np.int8)
+        lengths = np.zeros(B, dtype=np.int32)
+        mean_qual = np.zeros(B, dtype=np.float32)
+        codes[0::2], codes[1::2] = b1.codes, b2.codes
+        quals[0::2], quals[1::2] = b1.quals, b2.quals
+        lengths[0::2], lengths[1::2] = b1.lengths, b2.lengths
+        mean_qual[0::2], mean_qual[1::2] = b1.mean_qual, b2.mean_qual
+        names: List[str] = []
+        for a, b in zip(b1.names, b2.names):
+            names.extend((a, b))
+        # real pairs land contiguously at rows 0..2*n_reads-1 (both
+        # source batches are front-packed), so no compaction needed
+        yield ReadBatch(names, codes, lengths, quals, mean_qual,
+                        2 * b1.n_reads)

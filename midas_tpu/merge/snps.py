@@ -38,9 +38,9 @@ CHUNK_SITES = 200_000
 ALLELES = ["A", "C", "G", "T"]
 
 
-def _open_sample_files(sp: SpeciesGroup) -> List:
+def _open_sample_files(sp: SpeciesGroup, samples=None) -> List:
     files = []
-    for sample in sp.samples:
+    for sample in (sp.samples if samples is None else samples):
         path = os.path.join(sample.dir, "snps/output", f"{sp.id}.snps.gz")
         f = iopen(path)
         next(f)  # header
@@ -74,6 +74,118 @@ def _read_chunk(files: List, max_rows: int):
         return None
     counts = np.stack([c[:n] for c in per_sample_counts], axis=0)
     return site_meta, counts
+
+
+class _DirectChunks:
+    """All sample files open at once — the fast path when the cohort
+    fits the fd budget."""
+
+    def __init__(self, sp: SpeciesGroup):
+        self.files = _open_sample_files(sp)
+
+    def read(self, max_rows: int):
+        return _read_chunk(self.files, max_rows)
+
+    def close(self):
+        for f in self.files:
+            f.close()
+
+
+class _SpooledChunks:
+    """fd-bounded two-phase streaming (the reference's RLIMIT_NOFILE
+    sample batching, utility.py:38-57 + merge/snps.py:246-279): each
+    contiguous sample batch is lock-step streamed with at most
+    batch-size files open and spooled to ONE raw temp file of
+    [n_rows, S_batch, 4] int32 records; the call phase then reads
+    len(batches) spool files instead of len(samples) gz handles.
+
+    Spool record layout: int64 n, then n*S_b*4 int32 counts
+    (sample-major). Site meta spools once, from batch 0's first file."""
+
+    SPOOL_ROWS = 65536
+
+    def __init__(self, sp: SpeciesGroup, batches: List[List], tmpdir: str):
+        os.makedirs(tmpdir, exist_ok=True)
+        self.tmpdir = tmpdir
+        self.batch_sizes = [len(b) for b in batches]
+        self.bin_paths = []
+        self.meta_path = os.path.join(tmpdir, "site_meta.txt")
+        for bi, batch in enumerate(batches):
+            files = _open_sample_files(sp, batch)
+            path = os.path.join(tmpdir, f"counts.{bi}.bin")
+            self.bin_paths.append(path)
+            meta_f = open(self.meta_path, "w") if bi == 0 else None
+            try:
+                with open(path, "wb") as out:
+                    while True:
+                        chunk = _read_chunk(files, self.SPOOL_ROWS)
+                        if chunk is None:
+                            break
+                        site_meta, counts = chunk  # counts [S_b, n, 4]
+                        n = counts.shape[1]
+                        np.asarray([n], dtype=np.int64).tofile(out)
+                        counts.transpose(1, 0, 2).astype(np.int32).tofile(out)
+                        if meta_f is not None:
+                            for ref_id, ref_pos, ref_allele in site_meta:
+                                meta_f.write(f"{ref_id}\t{ref_pos}\t{ref_allele}\n")
+                        if n < self.SPOOL_ROWS:
+                            break
+            finally:
+                if meta_f is not None:
+                    meta_f.close()
+                for f in files:
+                    f.close()
+        self._bins = [open(p, "rb") for p in self.bin_paths]
+        self._meta = open(self.meta_path)
+        # per-file remainder rows carried between read() calls
+        self._pending = [np.zeros((0, sb, 4), np.int64) for sb in self.batch_sizes]
+
+    def _pull_rows(self, bi: int, max_rows: int) -> np.ndarray:
+        parts = [self._pending[bi]]
+        have = parts[0].shape[0]
+        sb = self.batch_sizes[bi]
+        while have < max_rows:
+            hdr = np.fromfile(self._bins[bi], dtype=np.int64, count=1)
+            if hdr.size == 0:
+                break
+            n = int(hdr[0])
+            rec = np.fromfile(self._bins[bi], dtype=np.int32, count=n * sb * 4)
+            parts.append(rec.reshape(n, sb, 4).astype(np.int64))
+            have += n
+        allrows = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        self._pending[bi] = allrows[max_rows:]
+        return allrows[:max_rows]
+
+    def read(self, max_rows: int):
+        meta = []
+        for _ in range(max_rows):
+            line = self._meta.readline()
+            if not line:
+                break
+            ref_id, ref_pos, ref_allele = line.rstrip("\n").split("\t")
+            meta.append((ref_id, int(ref_pos), ref_allele))
+        if not meta:
+            return None
+        rows = len(meta)
+        per_batch = [self._pull_rows(bi, rows) for bi in range(len(self._bins))]
+        counts = np.concatenate(per_batch, axis=1).transpose(1, 0, 2)
+        return meta, counts
+
+    def close(self):
+        for f in self._bins:
+            f.close()
+        self._meta.close()
+        shutil.rmtree(self.tmpdir, ignore_errors=True)
+
+
+def _make_chunk_source(sp: SpeciesGroup, args: Dict):
+    from midas_tpu.utils import batch_samples
+
+    batches = batch_samples(sp.samples, threads=1)
+    if len(batches) <= 1:
+        return _DirectChunks(sp)
+    tmpdir = os.path.join(args["outdir"], sp.id, "temp_spool")
+    return _SpooledChunks(sp, batches, tmpdir)
 
 
 class GeneSweep:
@@ -197,13 +309,13 @@ def merge_species_snps(sp: SpeciesGroup, args: Dict) -> int:
         "count_t", "locus_type", "gene_id", "snp_type", "site_type",
         "amino_acids"]) + "\n")
 
-    files = _open_sample_files(sp)
+    source = _make_chunk_source(sp, args)
     site_id = 0
     n_pass = 0
     try:
         while site_id < max_sites:
             chunk_rows = int(min(CHUNK_SITES, max_sites - site_id))
-            chunk = _read_chunk(files, chunk_rows)
+            chunk = source.read(chunk_rows)
             if chunk is None:
                 break
             site_meta, counts = chunk
@@ -239,8 +351,7 @@ def merge_species_snps(sp: SpeciesGroup, args: Dict) -> int:
             if len(site_meta) < chunk_rows:
                 break
     finally:
-        for f in files:
-            f.close()
+        source.close()
         info_f.close()
         freq_f.close()
         depth_f.close()

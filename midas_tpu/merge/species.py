@@ -47,12 +47,17 @@ def run_pipeline(args: Dict) -> None:
     species_ids = list(db.species_info())
     data = {sid: {f: [] for f in ["relative_abundance", "coverage", "count_reads"]}
             for sid in species_ids}
+    # one value per (species, sample) — a profile missing a species row
+    # (malformed/truncated) contributes 0 instead of silently shifting
+    # that species' row left (the reference's presence-keyed append at
+    # midas/merge/species.py:33-40 has that misalignment bug)
+    zero = {"relative_abundance": 0.0, "coverage": 0.0, "count_reads": 0}
     for sample in samples:
         abundance = read_abundance(sample.path)
-        for sid, values in abundance.items():
+        for sid in species_ids:
+            values = abundance.get(sid, {})
             for field in ["relative_abundance", "coverage", "count_reads"]:
-                if field in values:
-                    data[sid][field].append(values[field])
+                data[sid][field].append(values.get(field, zero[field]))
 
     # matrices (species.py:62-70)
     for field in ["relative_abundance", "coverage", "count_reads"]:

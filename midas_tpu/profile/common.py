@@ -42,6 +42,28 @@ def resolve_species_list(
     return []
 
 
+def select_batches(read_paths, batch_size: int, max_len: int, max_reads,
+                   paired: bool = False, interleaved: bool = False,
+                   read_length=None):
+    """Pick the batch stream: mate-paired (rows 2i/2i+1 are mates, for
+    bowtie2-style pairing) or plain concatenated single-end — the run
+    layer's equivalent of bowtie2's -1/-2/--interleaved vs -U inputs
+    (reference invocations: midas/run/genes.py:127-132)."""
+    from midas_tpu.io.batch import load_paired_batches, load_read_batches
+
+    if paired:
+        paths = ([read_paths] if isinstance(read_paths, (str, os.PathLike))
+                 else list(read_paths))
+        m2 = paths[1] if len(paths) > 1 else None
+        return load_paired_batches(
+            paths[0], m2, batch_size=batch_size, max_len=max_len,
+            max_reads=max_reads, interleaved=interleaved,
+            read_length=read_length)
+    return load_read_batches(read_paths, batch_size=batch_size,
+                             max_len=max_len, max_reads=max_reads,
+                             read_length=read_length)
+
+
 def keep_read_mask(
     res: AlignmentResult,
     best_col: np.ndarray,        # [B] chosen candidate per read

@@ -57,14 +57,20 @@ def mapq_device(
     best: jnp.ndarray, second: jnp.ndarray, smin: jnp.ndarray,
     sperf: jnp.ndarray, has_second: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Vectorized params.mapq_from_scores (same bucket table)."""
+    """Vectorized params.mapq_from_scores (bowtie2 MapqV2 unique-branch
+    table exactly; calibrated two-factor tie branch — see the host twin's
+    docstring for the provenance and verification limits)."""
     span = jnp.maximum(sperf - smin, 1.0)
     norm_best = (best - smin) / span
     diff = jnp.maximum(best - second, 0.0)
     norm_diff = diff / span
     hi = norm_best >= 0.67
     single = jnp.where(norm_best >= 0.8, 42,
-                       jnp.where(norm_best >= 0.5, 40, 30))
+                       jnp.where(norm_best >= 0.7, 40,
+                                 jnp.where(norm_best >= 0.6, 24,
+                                           jnp.where(norm_best >= 0.5, 23,
+                                                     jnp.where(norm_best >= 0.4, 8,
+                                                               jnp.where(norm_best >= 0.3, 3, 0))))))
     paired = jnp.where(
         norm_diff == 0.0, jnp.where(hi, 1, 0),
         jnp.where(norm_diff >= 0.6, 42,
@@ -97,6 +103,82 @@ def best_hit_device(
     return aligned, best_col, mapq
 
 
+def paired_best_hit_device(
+    out: Dict[str, jnp.ndarray], qlens: jnp.ndarray, scoring: ScoringParams,
+    maxins: int = 500,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Mate-pair-aware best-hit selection (bowtie2 pairing semantics,
+    which the reference relies on at midas/run/genes.py:127-132 and
+    snps.py:109-114): rows 2i/2i+1 are mates of pair i.
+
+    Concordant candidate pairs — same target sequence, opposite
+    strands, forward-strand mate leftmost (fr orientation), fragment
+    span <= maxins (bowtie2 --maxins default 500) — are scored as
+    score1+score2; the best concordant pair fixes BOTH mates' columns
+    and both mates get a pair-level MAPQ (best vs second-best pair,
+    bowtie2 computes paired MAPQ from pair scores). Pairs with no
+    concordant combination fall back to independent per-mate best hits
+    (bowtie2's default mixed mode).
+
+    Returns (aligned [B], best_col [B], mapq [B]) — same contract as
+    best_hit_device, so every downstream filter is unchanged."""
+    B, C = out["score"].shape
+    Pn = B // 2
+    scores = jnp.where(out["valid"], out["score"], NEG_INF)
+    s1, s2 = scores[0::2], scores[1::2]                       # [P, C]
+    seq1, seq2 = out["seq_idx"][0::2], out["seq_idx"][1::2]
+    st1, st2 = out["strand"][0::2], out["strand"][1::2]
+    t1s, t2s = out["tstart"][0::2], out["tstart"][1::2]
+    t1e, t2e = out["tend"][0::2], out["tend"][1::2]
+
+    same_seq = seq1[:, :, None] == seq2[:, None, :]           # [P, C, C]
+    opposite = st1[:, :, None] != st2[:, None, :]
+    lo = jnp.minimum(t1s[:, :, None], t2s[:, None, :])
+    hi = jnp.maximum(t1e[:, :, None], t2e[:, None, :])
+    frag = hi - lo
+    # fr orientation: the forward-strand mate starts no later than the
+    # reverse-strand mate
+    fw_start = jnp.where(st1[:, :, None] == 0, t1s[:, :, None], t2s[:, None, :])
+    rc_start = jnp.where(st1[:, :, None] == 0, t2s[:, None, :], t1s[:, :, None])
+    ql1, ql2 = qlens[0::2], qlens[1::2]
+    smin1 = score_min_device(scoring, ql1)
+    smin2 = score_min_device(scoring, ql2)
+    both_valid = ((s1 >= smin1[:, None])[:, :, None]
+                  & (s2 >= smin2[:, None])[:, None, :])
+    conc = (same_seq & opposite & (frag <= maxins) & (fw_start <= rc_start)
+            & both_valid)
+    pair_sc = jnp.where(conc, s1[:, :, None] + s2[:, None, :], NEG_INF)
+
+    flat = pair_sc.reshape(Pn, C * C)
+    best_flat = jnp.argmax(flat, axis=1).astype(jnp.int32)
+    pair_best = jnp.take_along_axis(flat, best_flat[:, None], axis=1)[:, 0]
+    masked = flat.at[jnp.arange(Pn), best_flat].set(NEG_INF)
+    pair_second = jnp.max(masked, axis=1)
+    has_pair = pair_best > NEG_INF / 2
+    c1 = best_flat // C
+    c2 = best_flat % C
+
+    # pair MAPQ from pair scores against pair-level score bounds
+    smin_pair = smin1 + smin2
+    sperf_pair = scoring.match * jnp.maximum(
+        (ql1 + ql2).astype(jnp.float32), 1.0)
+    pair_mapq = mapq_device(pair_best,
+                            jnp.where(pair_second > NEG_INF / 2, pair_second,
+                                      NEG_INF),
+                            smin_pair, sperf_pair,
+                            pair_second > NEG_INF / 2)
+
+    # unpaired fallback per mate (mixed mode)
+    u_aligned, u_col, u_mapq = best_hit_device(out, qlens, scoring)
+
+    has_pair_b = jnp.repeat(has_pair, 2)
+    pair_col = jnp.stack([c1, c2], axis=1).reshape(B)
+    best_col = jnp.where(has_pair_b, pair_col, u_col)
+    aligned = jnp.where(has_pair_b, True, u_aligned)
+    mapq = jnp.where(has_pair_b, jnp.repeat(pair_mapq, 2), u_mapq)
+    return aligned, best_col.astype(jnp.int32), mapq
+
+
 def keep_mask_device(
     out: Dict[str, jnp.ndarray], best_col: jnp.ndarray, qlens: jnp.ndarray,
     mean_qual: jnp.ndarray, mapq: jnp.ndarray,
@@ -111,6 +193,32 @@ def keep_mask_device(
     qlen = jnp.maximum(qlens.astype(jnp.float32), 1.0)
     return ((pid >= mapid) & (mean_qual >= readq)
             & (mapq >= min_mapq) & (alen / qlen >= aln_cov))
+
+
+def _bucket_rows(n: int, cap: int) -> int:
+    """Round a spill-row count up to the next power of two (min 256) so
+    device-side slicing before readback reuses a handful of compiled
+    slice shapes instead of one per distinct n."""
+    b = 256
+    while b < n:
+        b *= 2
+    return min(b, cap)
+
+
+def sliced_spill_host(bufs: Dict[str, jnp.ndarray], n: jnp.ndarray,
+                      cap: int) -> Tuple[Dict[str, np.ndarray], int]:
+    """Read spill buffers back with only the occupied rows.
+
+    On a tunneled TPU, device_get of a full [CAP+1, ...] spill buffer is
+    the single slowest step of a whole run (measured: 157 s for 36 MB of
+    gap buffers holding 36 real rows vs 1 s sliced). Pull the scalar
+    count first, slice on device to a pow2 bucket, transfer that.
+    Returns ({name: [n, ...] host rows}, true_n)."""
+    true_n = int(jax.device_get(n))
+    take = _bucket_rows(min(true_n, cap), cap)
+    host = jax.device_get({k: jax.lax.slice_in_dim(v, 0, take, axis=0)
+                           for k, v in bufs.items()})
+    return {k: np.asarray(v)[:min(true_n, cap)] for k, v in host.items()}, true_n
 
 
 def _append_rows(buf: jnp.ndarray, n: jnp.ndarray, rows: jnp.ndarray,
@@ -137,6 +245,11 @@ class SpeciesState:
     uniq_bp: jnp.ndarray      # [S+1] f32
     amb_sp: jnp.ndarray       # [CAP+1, C] i32, -1 padded
     amb_bp: jnp.ndarray       # [CAP+1, C] i32
+    amb_seq: jnp.ndarray      # [CAP+1, C] i32 pack seq idx (tie ordering:
+    #                           hs-blastn emits equal-score hits in
+    #                           subject-index order — measured on the real
+    #                           binary — and the reference's RNG draw
+    #                           consumes ids in that order, species.py:104-119)
     amb_n: jnp.ndarray        # scalar i32 (true count, may exceed CAP)
     total_alns: jnp.ndarray   # scalar i32
 
@@ -147,6 +260,7 @@ def species_init(n_species: int, num_cands: int, amb_cap: int) -> SpeciesState:
         uniq_bp=jnp.zeros(n_species + 1, jnp.float32),
         amb_sp=jnp.full((amb_cap + 1, num_cands), -1, jnp.int32),
         amb_bp=jnp.zeros((amb_cap + 1, num_cands), jnp.int32),
+        amb_seq=jnp.zeros((amb_cap + 1, num_cands), jnp.int32),
         amb_n=jnp.zeros((), jnp.int32),
         total_alns=jnp.zeros((), jnp.int32),
     )
@@ -202,12 +316,51 @@ def species_update(
     amb_row = has_hit & (n_best >= 2)
     amb_sp_rows = jnp.where(best_mask, sp, -1)
     amb_bp_rows = jnp.where(best_mask, aln, 0)
+    amb_seq_rows = jnp.where(best_mask, out["seq_idx"], 0)
     amb_sp, _ = _append_rows(state.amb_sp, state.amb_n, amb_sp_rows, amb_row)
-    amb_bp, amb_n = _append_rows(state.amb_bp, state.amb_n, amb_bp_rows, amb_row)
+    amb_bp, _ = _append_rows(state.amb_bp, state.amb_n, amb_bp_rows, amb_row)
+    amb_seq, amb_n = _append_rows(state.amb_seq, state.amb_n, amb_seq_rows,
+                                  amb_row)
 
     total_alns = state.total_alns + jnp.sum(
         (out["valid"] & real[:, None]).astype(jnp.int32))
-    return SpeciesState(uniq_count, uniq_bp, amb_sp, amb_bp, amb_n, total_alns)
+    return SpeciesState(uniq_count, uniq_bp, amb_sp, amb_bp, amb_seq, amb_n,
+                        total_alns)
+
+
+def species_state_host(state: SpeciesState) -> Dict[str, np.ndarray]:
+    """Host snapshot with spill buffers sliced to occupied rows (see
+    sliced_spill_host). Used for the end-of-stream readback and for
+    checkpoints; amb_n in the result is the TRUE count (may exceed the
+    rows present if the buffer overflowed)."""
+    cap = state.amb_sp.shape[0] - 1
+    spill, amb_n = sliced_spill_host(
+        dict(amb_sp=state.amb_sp, amb_bp=state.amb_bp,
+             amb_seq=state.amb_seq), state.amb_n, cap)
+    small = jax.device_get(dict(uniq_count=state.uniq_count,
+                                uniq_bp=state.uniq_bp,
+                                total_alns=state.total_alns))
+    out = {k: np.asarray(v) for k, v in small.items()}
+    out.update(spill)
+    out["amb_n"] = np.int64(amb_n)
+    return out
+
+
+def species_state_restore(h: Dict[str, np.ndarray], amb_cap: int) -> SpeciesState:
+    """Rebuild device state from a species_state_host snapshot."""
+    n_species = h["uniq_count"].shape[0] - 1
+    C = h["amb_sp"].shape[1]
+    st = species_init(n_species, C, amb_cap)
+    rows = h["amb_sp"].shape[0]
+    return SpeciesState(
+        uniq_count=jnp.asarray(h["uniq_count"]),
+        uniq_bp=jnp.asarray(h["uniq_bp"]),
+        amb_sp=st.amb_sp.at[:rows].set(jnp.asarray(h["amb_sp"])),
+        amb_bp=st.amb_bp.at[:rows].set(jnp.asarray(h["amb_bp"])),
+        amb_seq=st.amb_seq.at[:rows].set(jnp.asarray(h["amb_seq"])),
+        amb_n=jnp.asarray(np.int32(h["amb_n"])),
+        total_alns=jnp.asarray(np.int32(h["total_alns"])),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -235,7 +388,8 @@ def genes_init(num_genes: int) -> GenesState:
 @functools.partial(
     jax.jit,
     static_argnames=("num_genes", "scoring", "seed_params", "max_len",
-                     "mapid", "readq", "min_mapq", "aln_cov"),
+                     "mapid", "readq", "min_mapq", "aln_cov", "paired",
+                     "maxins"),
     donate_argnames=("state",),
 )
 def genes_update(
@@ -254,6 +408,8 @@ def genes_update(
     readq: float,
     min_mapq: int,
     aln_cov: float,
+    paired: bool = False,
+    maxins: int = 500,
 ) -> GenesState:
     """One batch of CNV counting on device (genes.py:153-203)."""
     out = _align_batch_stages(index_arrays, pack_arrays,
@@ -261,7 +417,11 @@ def genes_update(
     B = out["score"].shape[0]
     G = num_genes
     real = jnp.arange(B) < n_reads
-    aligned, best_col, mapq = best_hit_device(out, qlens, scoring)
+    if paired:
+        aligned, best_col, mapq = paired_best_hit_device(
+            out, qlens, scoring, maxins=maxins)
+    else:
+        aligned, best_col, mapq = best_hit_device(out, qlens, scoring)
     aligned = aligned & real
     g = _pick(out["seq_idx"], best_col)
     ga = jnp.where(aligned, g, G)
@@ -273,6 +433,18 @@ def genes_update(
     alen = _pick(out["qend"], best_col) - _pick(out["qstart"], best_col)
     bp = state.bp.at[gk].add(jnp.where(keep, alen, 0))
     return GenesState(aligned_reads, mapped_reads, bp)
+
+
+def genes_state_host(state: GenesState) -> Dict[str, np.ndarray]:
+    h = jax.device_get(dict(aligned_reads=state.aligned_reads,
+                            mapped_reads=state.mapped_reads, bp=state.bp))
+    return {k: np.asarray(v) for k, v in h.items()}
+
+
+def genes_state_restore(h: Dict[str, np.ndarray]) -> GenesState:
+    return GenesState(aligned_reads=jnp.asarray(h["aligned_reads"]),
+                      mapped_reads=jnp.asarray(h["mapped_reads"]),
+                      bp=jnp.asarray(h["bp"]))
 
 
 # ---------------------------------------------------------------------------
@@ -304,10 +476,46 @@ def snps_init(total_len: int, n_species: int, gap_cap: int,
     )
 
 
+def snps_state_host(state: SnpsState) -> Dict[str, np.ndarray]:
+    """Host snapshot; gap spill buffers sliced to occupied rows (the
+    full [CAP+1, L] buffers measured 157 s to read over the tunnel vs
+    1 s sliced — this readback was the entire SNP-pipeline slowdown in
+    rounds 1-2)."""
+    cap = state.gap_codes.shape[0] - 1
+    spill, gap_n = sliced_spill_host(
+        dict(gap_codes=state.gap_codes, gap_quals=state.gap_quals,
+             gap_meta=state.gap_meta), state.gap_n, cap)
+    small = jax.device_get(dict(counts=state.counts,
+                                aligned_reads=state.aligned_reads,
+                                mapped_reads=state.mapped_reads))
+    out = {k: np.asarray(v) for k, v in small.items()}
+    out.update(spill)
+    out["gap_n"] = np.int64(gap_n)
+    return out
+
+
+def snps_state_restore(h: Dict[str, np.ndarray], gap_cap: int) -> SnpsState:
+    total_len = h["counts"].shape[0] // 4 - 1
+    n_species = h["aligned_reads"].shape[0] - 1
+    L = h["gap_codes"].shape[1]
+    st = snps_init(total_len, n_species, gap_cap, L)
+    rows = h["gap_codes"].shape[0]
+    return SnpsState(
+        counts=jnp.asarray(h["counts"]),
+        aligned_reads=jnp.asarray(h["aligned_reads"]),
+        mapped_reads=jnp.asarray(h["mapped_reads"]),
+        gap_codes=st.gap_codes.at[:rows].set(jnp.asarray(h["gap_codes"])),
+        gap_quals=st.gap_quals.at[:rows].set(jnp.asarray(h["gap_quals"])),
+        gap_meta=st.gap_meta.at[:rows].set(jnp.asarray(h["gap_meta"])),
+        gap_n=jnp.asarray(np.int32(h["gap_n"])),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scoring", "seed_params", "max_len",
-                     "mapid", "readq", "min_mapq", "baseq", "aln_cov"),
+                     "mapid", "readq", "min_mapq", "baseq", "aln_cov",
+                     "paired", "maxins"),
     donate_argnames=("state",),
 )
 def snps_update(
@@ -328,6 +536,8 @@ def snps_update(
     min_mapq: int,
     baseq: int,
     aln_cov: float,
+    paired: bool = False,
+    maxins: int = 500,
 ) -> SnpsState:
     """One pileup batch on device: gapless kept reads scatter base
     counts directly (the closed-form column map of snps.py's pileup);
@@ -340,7 +550,11 @@ def snps_update(
     G = state.counts.shape[0] // 4 - 1
     S = state.aligned_reads.shape[0] - 1
     real = jnp.arange(B) < n_reads
-    aligned, best_col, mapq = best_hit_device(out, qlens, scoring)
+    if paired:
+        aligned, best_col, mapq = paired_best_hit_device(
+            out, qlens, scoring, maxins=maxins)
+    else:
+        aligned, best_col, mapq = best_hit_device(out, qlens, scoring)
     aligned = aligned & real
     ci = _pick(out["seq_idx"], best_col)
     sp = contig_species[ci]

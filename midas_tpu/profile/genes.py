@@ -26,7 +26,7 @@ from midas_tpu.db.layout import Database
 from midas_tpu.db.refpack import ReferencePack, pack_from_fasta
 from midas_tpu.io.batch import load_read_batches
 from midas_tpu.io.seqio import iopen, parse_file
-from midas_tpu.profile.common import resolve_species_list
+from midas_tpu.profile.common import resolve_species_list, select_batches
 
 
 class GenesProfiler:
@@ -71,41 +71,97 @@ class GenesProfiler:
         self.aligner = Aligner(self.pack, self.index, LOCAL_SCORING, sp,
                                max_read_len=max_read_len)
 
-    def run(self, read_paths, max_reads=None, trim=0, batch_size: int = 8192) -> Dict:
+    def run(self, read_paths, max_reads=None, trim=0, batch_size: int = 8192,
+            checkpoint_path=None, align_only: bool = False,
+            paired: bool = False, interleaved: bool = False) -> Dict:
         """Device-resident CNV counting: per-gene accumulators live on
         device (profile.device_steps.genes_update, donated every batch)
-        and come back once at the end — no per-batch readback."""
-        import jax
-        import jax.numpy as jnp
+        and come back once at the end — no per-batch readback. Batches
+        parse+upload in a background thread; with checkpoint_path the
+        state persists periodically (crash recovery + the reference's
+        --align / --call_genes stage split)."""
+        host = self._accumulate(read_paths, max_reads, trim, batch_size,
+                                checkpoint_path, paired=paired,
+                                interleaved=interleaved)
+        if align_only:
+            return None
+        return self._finalize(host)
 
+    def _accumulate(self, read_paths, max_reads, trim, batch_size,
+                    checkpoint_path=None, checkpoint_every: int = 64,
+                    paired: bool = False, interleaved: bool = False):
+        from midas_tpu.io.prefetch import prefetch_device_batches
+        from midas_tpu.profile import checkpoint as ckpt
         from midas_tpu.profile import device_steps as ds
 
         G = self.pack.num_seqs
         al = self.aligner
         state = ds.genes_init(G)
-        for batch in load_read_batches(
-            read_paths, batch_size=batch_size, max_len=al.max_read_len,
-            max_reads=max_reads,
-        ):
-            if trim:
-                # --trim3: drop bases from the 3' end (genes.py:122)
-                batch.lengths = np.maximum(batch.lengths - trim, 0).astype(np.int32)
-                for i in range(batch.codes.shape[0]):
-                    batch.codes[i, batch.lengths[i]:] = 4
+        skip = 0
+        fp = None
+        if checkpoint_path:
+            fp = self._fingerprint(read_paths, max_reads, trim, batch_size,
+                                   paired=paired, interleaved=interleaved)
+            got = ckpt.load(checkpoint_path, fp)
+            if got is not None:
+                arrays, meta = got
+                state = ds.genes_state_restore(arrays)
+                skip = int(meta["batches_done"])
+        last_index = skip - 1
+        batches = select_batches(read_paths, batch_size, al.max_read_len,
+                                 max_reads, paired, interleaved)
+        for db in prefetch_device_batches(
+                batches, ("codes", "lengths", "mean_qual"),
+                trim=trim, skip_batches=skip):
+            last_index = db.index
+            codes, lengths, mean_qual, n_reads = db.arrays
             state = ds.genes_update(
                 state, al.index_arrays, al.pack_arrays,
-                G,
-                jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
-                jnp.asarray(batch.mean_qual), jnp.int32(batch.n_reads),
+                G, codes, lengths, mean_qual, n_reads,
                 scoring=LOCAL_SCORING, seed_params=al.seed_params,
                 max_len=al.max_read_len, mapid=float(self.mapid),
                 readq=float(self.readq), min_mapq=int(self.mapq),
-                aln_cov=float(self.aln_cov))
-        host = jax.device_get(state)
-        aligned_reads = np.asarray(host.aligned_reads[:G]).astype(np.int64)
-        mapped_reads = np.asarray(host.mapped_reads[:G]).astype(np.int64)
+                aln_cov=float(self.aln_cov), paired=bool(paired))
+            if checkpoint_path and (db.index + 1) % checkpoint_every == 0:
+                ckpt.save(checkpoint_path, ds.genes_state_host(state),
+                          dict(fingerprint=fp, batches_done=db.index + 1))
+        host = ds.genes_state_host(state)
+        if checkpoint_path:
+            ckpt.save(checkpoint_path, host,
+                      dict(fingerprint=fp, batches_done=last_index + 1))
+        return host
+
+    def _fingerprint(self, read_paths, max_reads, trim, batch_size,
+                     paired=False, interleaved=False) -> str:
+        from midas_tpu.profile import checkpoint as ckpt
+
+        return ckpt.fingerprint(
+            kind="genes", paths=list(map(str, np.atleast_1d(read_paths))),
+            max_reads=max_reads, trim=trim, batch_size=batch_size,
+            mapid=self.mapid, readq=self.readq, mapq=self.mapq,
+            aln_cov=self.aln_cov, species=self.species_ids,
+            paired=paired, interleaved=interleaved)
+
+    def finalize_from_checkpoint(self, checkpoint_path) -> Dict:
+        """--call_genes without --align: consume the persisted aligned
+        state (the reference's equivalent reads temp/pangenomes.bam,
+        scripts/run_midas.py:535-566)."""
+        import sys as _sys
+
+        from midas_tpu.profile import checkpoint as ckpt
+
+        got = ckpt.load_any(checkpoint_path)
+        if got is None:
+            _sys.exit(f"\nError: no usable alignment state at {checkpoint_path}\n"
+                      "Run with --align first\n")
+        return self._finalize(got[0])
+
+    def _finalize(self, host: Dict) -> Dict:
+        G = self.pack.num_seqs
+        aligned_reads = np.asarray(host["aligned_reads"][:G]).astype(np.int64)
+        mapped_reads = np.asarray(host["mapped_reads"][:G]).astype(np.int64)
         gene_len = self.pack.lengths.astype(np.float64)
-        depth = np.asarray(host.bp[:G]).astype(np.float64) / np.maximum(gene_len, 1.0)
+        depth = np.asarray(host["bp"][:G]).astype(np.float64) / np.maximum(gene_len, 1.0)
 
         # normalize by median marker depth (genes.py:205-218)
         S = len(self.species_ids)
@@ -184,9 +240,12 @@ def _marker_map_path(db: Database):
 
 
 def run_genes(args: Dict) -> GenesProfiler:
-    """Pipeline driver with the reference output layout
-    (genes.py:252-291)."""
+    """Pipeline driver with the reference output layout and per-stage
+    timing/memory prints (genes.py:252-291)."""
+    from midas_tpu.utils import stage_timer
+
     outdir = args["outdir"]
+    log = args.get("log")
     os.makedirs(os.path.join(outdir, "genes/temp"), exist_ok=True)
     os.makedirs(os.path.join(outdir, "genes/output"), exist_ok=True)
     db = Database(args["db"])
@@ -199,20 +258,37 @@ def run_genes(args: Dict) -> GenesProfiler:
                  "Try running with more lenient parameters "
                  "(e.g. --species_cov, --species_topn, or --species_id)")
     # stage gating: --build_db alone only persists the species list (the
-    # reference's later stages need its BAM intermediates; we have none,
-    # so align+count run fused whenever either is requested)
+    # reference's later stages need its BAM intermediates; ours need
+    # the temp/state.npz alignment-state checkpoint)
     if args.get("build_db") and not (args.get("align") or args.get("cov")):
         return None
-    profiler = GenesProfiler(
-        db, species_ids,
-        mapid=args.get("mapid", 94.0), readq=args.get("readq", 20.0),
-        mapq=args.get("mapq", 0), aln_cov=args.get("aln_cov", 0.75),
-    )
-    paths = [args["m1"]]
-    if args.get("m2"):
-        paths.append(args["m2"])
-    profiler.run(paths, max_reads=args.get("max_reads"), trim=args.get("trim", 0))
-    profiler.write_results(outdir)
+    state_path = os.path.join(outdir, "genes/temp/state.npz")
+    with stage_timer("Building pangenome database", log):
+        profiler = GenesProfiler(
+            db, species_ids,
+            mapid=args.get("mapid", 94.0), readq=args.get("readq", 20.0),
+            mapq=args.get("mapq", 0), aln_cov=args.get("aln_cov", 0.75),
+        )
+    if args.get("align") or args.get("build_db"):
+        paths = [args["m1"]]
+        if args.get("m2"):
+            paths.append(args["m2"])
+        paired = bool(args.get("m2")) or bool(args.get("interleaved"))
+        with stage_timer("Aligning reads to pangenomes", log):
+            profiler.run(paths, max_reads=args.get("max_reads"),
+                         trim=args.get("trim", 0),
+                         paired=paired,
+                         interleaved=bool(args.get("interleaved")),
+                         checkpoint_path=state_path,
+                         align_only=not args.get("cov"))
+        if not args.get("cov"):
+            return profiler
+        with stage_timer("Computing coverage of pangenomes", log):
+            profiler.write_results(outdir)
+    elif args.get("cov"):
+        with stage_timer("Computing coverage of pangenomes", log):
+            profiler.finalize_from_checkpoint(state_path)
+            profiler.write_results(outdir)
     if args.get("remove_temp"):
         import shutil
         shutil.rmtree(os.path.join(outdir, "genes/temp"))

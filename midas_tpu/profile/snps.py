@@ -23,7 +23,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from midas_tpu.align.oracle import align_oracle
+from midas_tpu.align.oracle import align_oracle_batch
 from midas_tpu.align.params import GLOBAL_SCORING
 from midas_tpu.align.pipeline import Aligner
 from midas_tpu.align.seed import SeedParams
@@ -32,7 +32,7 @@ from midas_tpu.db.layout import Database
 from midas_tpu.db.refpack import pack_from_fasta
 from midas_tpu.io.batch import load_read_batches
 from midas_tpu.io.seqio import CODE_TO_BASE, iopen
-from midas_tpu.profile.common import resolve_species_list
+from midas_tpu.profile.common import resolve_species_list, select_batches
 
 
 class SnpsProfiler:
@@ -67,15 +67,32 @@ class SnpsProfiler:
                                max_read_len=max_read_len)
 
     def run(self, read_paths, max_reads=None, trim=0, batch_size: int = 8192,
-            gap_cap: Optional[int] = None) -> Dict:
+            gap_cap: Optional[int] = None, checkpoint_path=None,
+            align_only: bool = False, paired: bool = False,
+            interleaved: bool = False) -> Dict:
         """Device-resident pileup: gapless kept reads scatter-add their
         base one-hots into a [4, G] device count tensor
         (profile.device_steps.snps_update, donated each batch); the rare
         gapped reads spill to a device buffer and get the exact oracle
-        traceback on host once, after the stream ends."""
-        import jax
+        traceback on host once, after the stream ends. Batches
+        parse+upload in a background thread; with checkpoint_path the
+        state persists periodically (crash recovery + the reference's
+        --align / --pileup stage split)."""
+        host = self._accumulate(read_paths, max_reads, trim, batch_size,
+                                gap_cap, checkpoint_path, paired=paired,
+                                interleaved=interleaved)
+        if align_only:
+            return None
+        return self._finalize(host)
+
+    def _accumulate(self, read_paths, max_reads, trim, batch_size,
+                    gap_cap=None, checkpoint_path=None,
+                    checkpoint_every: int = 64, paired: bool = False,
+                    interleaved: bool = False) -> Dict:
         import jax.numpy as jnp
 
+        from midas_tpu.io.prefetch import prefetch_device_batches
+        from midas_tpu.profile import checkpoint as ckpt
         from midas_tpu.profile import device_steps as ds
 
         G = self.pack.total_len
@@ -85,51 +102,97 @@ class SnpsProfiler:
         cap = gap_cap or int(os.environ.get("MIDAS_TPU_GAP_CAP", "131072"))
         state = ds.snps_init(G, S, cap, L)
         contig_species = jnp.asarray(self.contig_species)
-        for batch in load_read_batches(
-            read_paths, batch_size=batch_size, max_len=L, max_reads=max_reads,
-        ):
-            if trim:
-                batch.lengths = np.maximum(batch.lengths - trim, 0).astype(np.int32)
-                for i in range(batch.codes.shape[0]):
-                    batch.codes[i, batch.lengths[i]:] = 4
+        skip = 0
+        fp = None
+        if checkpoint_path:
+            fp = ckpt.fingerprint(
+                kind="snps", paths=list(map(str, np.atleast_1d(read_paths))),
+                max_reads=max_reads, trim=trim, batch_size=batch_size,
+                mapid=self.mapid, readq=self.readq, mapq=self.mapq,
+                baseq=self.baseq, aln_cov=self.aln_cov, cap=cap,
+                species=self.species_ids, paired=paired,
+                interleaved=interleaved)
+            got = ckpt.load(checkpoint_path, fp)
+            if got is not None:
+                arrays, meta = got
+                state = ds.snps_state_restore(arrays, cap)
+                skip = int(meta["batches_done"])
+
+        def overflow_check(n, batch_idx):
+            if n > cap:
+                raise RuntimeError(
+                    f"gapped-read buffer overflow ({n} > {cap}) at batch "
+                    f"{batch_idx}: set MIDAS_TPU_GAP_CAP higher")
+
+        last_index = skip - 1
+        batches = select_batches(read_paths, batch_size, L, max_reads,
+                                 paired, interleaved)
+        for db in prefetch_device_batches(
+                batches, ("codes", "quals", "lengths", "mean_qual"),
+                trim=trim, skip_batches=skip):
+            last_index = db.index
+            codes, quals, lengths, mean_qual, n_reads = db.arrays
             state = ds.snps_update(
                 state, al.index_arrays, al.pack_arrays,
-                contig_species,
-                jnp.asarray(batch.codes), jnp.asarray(batch.quals),
-                jnp.asarray(batch.lengths), jnp.asarray(batch.mean_qual),
-                jnp.int32(batch.n_reads),
+                contig_species, codes, quals, lengths, mean_qual, n_reads,
                 scoring=GLOBAL_SCORING, seed_params=al.seed_params,
                 max_len=L, mapid=float(self.mapid), readq=float(self.readq),
                 min_mapq=int(self.mapq), baseq=int(self.baseq),
-                aln_cov=float(self.aln_cov))
-        host = jax.device_get(state)
-        counts = np.asarray(host.counts).reshape(4, G + 1)[:, :G].copy()
-        aligned_reads = np.asarray(host.aligned_reads[:S]).astype(np.int64)
-        mapped_reads = np.asarray(host.mapped_reads[:S]).astype(np.int64)
+                aln_cov=float(self.aln_cov), paired=bool(paired))
+            if checkpoint_path and (db.index + 1) % checkpoint_every == 0:
+                h = ds.snps_state_host(state)
+                overflow_check(int(h["gap_n"]), db.index)
+                ckpt.save(checkpoint_path, h,
+                          dict(fingerprint=fp, batches_done=db.index + 1))
+        host = ds.snps_state_host(state)
+        overflow_check(int(host["gap_n"]), -1)
+        if checkpoint_path:
+            ckpt.save(checkpoint_path, host,
+                      dict(fingerprint=fp, batches_done=last_index + 1))
+        return host
 
-        # exact host traceback for the spilled gapped reads
-        n_gapped = int(host.gap_n)
-        if n_gapped > cap:
-            raise RuntimeError(
-                f"gapped-read buffer overflow ({n_gapped} > {cap}): "
-                "set MIDAS_TPU_GAP_CAP higher")
-        gap_codes = np.asarray(host.gap_codes[:n_gapped])
-        gap_quals = np.asarray(host.gap_quals[:n_gapped])
-        gap_meta = np.asarray(host.gap_meta[:n_gapped])
-        for r in range(n_gapped):
+    def finalize_from_checkpoint(self, checkpoint_path) -> Dict:
+        """--pileup without --align (the reference's equivalent reads
+        temp/genomes.bam, scripts/run_midas.py:567-604)."""
+        from midas_tpu.profile import checkpoint as ckpt
+
+        got = ckpt.load_any(checkpoint_path)
+        if got is None:
+            sys.exit(f"\nError: no usable alignment state at {checkpoint_path}\n"
+                     "Run with --align first\n")
+        return self._finalize(got[0])
+
+    def _finalize(self, host: Dict) -> Dict:
+        G = self.pack.total_len
+        S = len(self.species_ids)
+        counts = np.asarray(host["counts"]).reshape(4, G + 1)[:, :G].copy()
+        aligned_reads = np.asarray(host["aligned_reads"][:S]).astype(np.int64)
+        mapped_reads = np.asarray(host["mapped_reads"][:S]).astype(np.int64)
+
+        # exact host traceback for the spilled gapped reads — batched
+        # wavefront oracle (align_oracle_batch): the scalar per-read DP
+        # costs ~25 ms each and dominated end-of-stream time
+        n_gapped = int(host["gap_n"])
+        gap_codes = np.asarray(host["gap_codes"])
+        gap_quals = np.asarray(host["gap_quals"])
+        gap_meta = np.asarray(host["gap_meta"])
+        queries, windows, los = [], [], []
+        for r in range(gap_codes.shape[0]):
             ci, tstart, tend, qlen = (int(x) for x in gap_meta[r])
-            q = gap_codes[r]
-            qq = gap_quals[r]
             seq_lo = int(self.pack.offsets[ci])
             lo = max(seq_lo + tstart - 8, 0)
             hi = min(seq_lo + tend + 8, G)
-            window = self.pack.codes[lo:hi]
-            a = align_oracle(q[:qlen], window, GLOBAL_SCORING)
+            queries.append(gap_codes[r, :qlen])
+            windows.append(self.pack.codes[lo:hi])
+            los.append(lo)
+        for r, a in enumerate(align_oracle_batch(queries, windows,
+                                                 GLOBAL_SCORING)):
+            qlen = len(queries[r])
             m = a.qpos_to_tpos(qlen)
             qpos = np.flatnonzero(m >= 0)
-            tpos = lo + m[qpos]
-            base = q[qpos]
-            mask = (qq[qpos] >= self.baseq) & (base < 4)
+            tpos = los[r] + m[qpos]
+            base = gap_codes[r, qpos]
+            mask = (gap_quals[r, qpos] >= self.baseq) & (base < 4)
             np.add.at(counts, (base[mask], tpos[mask]), 1)
 
         self.counts = counts
@@ -196,9 +259,12 @@ def _count_fasta_records(path: str) -> int:
 
 
 def run_snps(args: Dict) -> SnpsProfiler:
-    """Pipeline driver with the reference output layout
-    (snps.py:268-305)."""
+    """Pipeline driver with the reference output layout and per-stage
+    timing/memory prints (snps.py:268-305)."""
+    from midas_tpu.utils import stage_timer
+
     outdir = args["outdir"]
+    log = args.get("log")
     os.makedirs(os.path.join(outdir, "snps/temp"), exist_ok=True)
     os.makedirs(os.path.join(outdir, "snps/output"), exist_ok=True)
     db = Database(args["db"])
@@ -209,17 +275,34 @@ def run_snps(args: Dict) -> SnpsProfiler:
                  "(e.g. --species_cov, --species_topn, or --species_id)")
     if args.get("build_db") and not (args.get("align") or args.get("call")):
         return None
-    profiler = SnpsProfiler(
-        db, species_ids,
-        mapid=args.get("mapid", 94.0), readq=args.get("readq", 20.0),
-        mapq=args.get("mapq", 20), baseq=args.get("baseq", 30),
-        aln_cov=args.get("aln_cov", 0.75),
-    )
-    paths = [args["m1"]]
-    if args.get("m2"):
-        paths.append(args["m2"])
-    profiler.run(paths, max_reads=args.get("max_reads"), trim=args.get("trim", 0))
-    profiler.write_results(outdir)
+    state_path = os.path.join(outdir, "snps/temp/state.npz")
+    with stage_timer("Building genome database", log):
+        profiler = SnpsProfiler(
+            db, species_ids,
+            mapid=args.get("mapid", 94.0), readq=args.get("readq", 20.0),
+            mapq=args.get("mapq", 20), baseq=args.get("baseq", 30),
+            aln_cov=args.get("aln_cov", 0.75),
+        )
+    if args.get("align") or args.get("build_db"):
+        paths = [args["m1"]]
+        if args.get("m2"):
+            paths.append(args["m2"])
+        paired = bool(args.get("m2")) or bool(args.get("interleaved"))
+        with stage_timer("Aligning reads to representative genomes", log):
+            profiler.run(paths, max_reads=args.get("max_reads"),
+                         trim=args.get("trim", 0),
+                         paired=paired,
+                         interleaved=bool(args.get("interleaved")),
+                         checkpoint_path=state_path,
+                         align_only=not args.get("call"))
+        if not args.get("call"):
+            return profiler
+        with stage_timer("Counting alleles", log):
+            profiler.write_results(outdir)
+    elif args.get("call"):
+        with stage_timer("Counting alleles", log):
+            profiler.finalize_from_checkpoint(state_path)
+            profiler.write_results(outdir)
     if args.get("remove_temp"):
         import shutil
         shutil.rmtree(os.path.join(outdir, "snps/temp"))

@@ -83,6 +83,7 @@ class SpeciesProfiler:
         max_reads: Optional[int] = None,
         batch_size: int = 8192,
         m8_path: Optional[str] = None,
+        checkpoint_path: Optional[str] = None,
     ) -> Dict:
         """Align + classify all reads. Returns the abundance dict:
         species_id -> {count, cov, rel_abun}.
@@ -97,7 +98,8 @@ class SpeciesProfiler:
         paths produce identical abundances (tested)."""
         if m8_path is None:
             unique_count, unique_bp, ambiguous = self._run_device(
-                read_paths, read_length, max_reads, batch_size)
+                read_paths, read_length, max_reads, batch_size,
+                checkpoint_path=checkpoint_path)
         else:
             unique_count, unique_bp, ambiguous = self._run_host(
                 read_paths, read_length, max_reads, batch_size, m8_path)
@@ -118,15 +120,17 @@ class SpeciesProfiler:
         total_reads = self.stats["total_reads"]  # set by _run_*
         total_bp = self.stats["total_bp"]
         total_alns = self.stats["total_alns"]
-        for sp_ids, alns in ambiguous:
-            # canonicalize tie-set order (species index, then bp) so the
-            # RNG draw below is identical no matter which classifier
-            # produced the row — host (candidate order), single-chip
-            # device, or the dp x tp distributed path (shard-major
-            # order). The reference's own order is its m8 file order,
-            # which its unseeded RNG makes unobservable anyway
-            # (species.py:113-117).
-            o = np.lexsort((alns, sp_ids))
+        for seq_ids, sp_ids, alns in ambiguous:
+            # canonicalize tie-set order by pack (subject) index: the
+            # real hs-blastn emits equal-score hits in subject-index
+            # order (measured: 21/21 tie reads on the golden fixture,
+            # tests/test_golden_hsblastn.py), the reference's RNG draw
+            # consumes species ids in that m8 order (species.py:104-119),
+            # and our pack preserves phyeco.fa order — so sorting by seq
+            # index makes the seeded draw byte-identical to the
+            # reference no matter which classifier produced the row
+            # (host, single-chip device, or the dp x tp distributed path).
+            o = np.argsort(seq_ids, kind="stable")
             sp_ids, alns = sp_ids[o], alns[o]
             weights = unique_count[sp_ids].astype(np.float64)
             if weights.sum() == 0:
@@ -197,19 +201,27 @@ class SpeciesProfiler:
                         unique_count[sp_of[i, c]] += 1
                         unique_bp[sp_of[i, c]] += aln[i, c]
                     else:
-                        ambiguous.append((sp_of[i, cols], aln[i, cols]))
+                        ambiguous.append((res.seq_idx[i, cols],
+                                          sp_of[i, cols], aln[i, cols]))
         self.stats = dict(total_reads=total_reads, total_bp=total_bp,
                           total_alns=total_alns)
         return unique_count, unique_bp, ambiguous
 
     def _run_device(self, read_paths, read_length, max_reads, batch_size,
-                    amb_cap: Optional[int] = None
+                    amb_cap: Optional[int] = None,
+                    checkpoint_path: Optional[str] = None,
+                    checkpoint_every: int = 64,
                     ) -> Tuple[np.ndarray, np.ndarray, List]:
         """Device-resident classifier: one jit per batch, accumulators
-        donated across batches, no per-batch readback."""
-        import jax
+        donated across batches, no per-batch readback. Input batches
+        parse+upload in a background thread (io/prefetch.py) so H2D
+        rides under the previous batch's compute. With checkpoint_path,
+        a sliced state snapshot persists every checkpoint_every batches
+        and a rerun resumes from it byte-identically."""
         import jax.numpy as jnp
 
+        from midas_tpu.io.prefetch import prefetch_device_batches
+        from midas_tpu.profile import checkpoint as ckpt
         from midas_tpu.profile import device_steps as ds
 
         n_species = len(self.species_order)
@@ -219,6 +231,29 @@ class SpeciesProfiler:
         seq_species = jnp.asarray(self.seq_species)
         seq_cutoff = jnp.asarray(self.seq_cutoff)
         total_reads = total_bp = 0
+        skip = 0
+        fp = None
+        if checkpoint_path:
+            fp = ckpt.fingerprint(
+                kind="species", schema=2,  # schema 2: + amb_seq buffer
+                paths=list(map(str, np.atleast_1d(read_paths))),
+                read_length=read_length, max_reads=max_reads,
+                batch_size=batch_size, aln_cov=self.aln_cov,
+                num_cands=al.seed_params.num_cands, cap=cap)
+            got = ckpt.load(checkpoint_path, fp)
+            if got is not None:
+                arrays, meta = got
+                state = ds.species_state_restore(arrays, cap)
+                skip = int(meta["batches_done"])
+                total_reads = int(meta["total_reads"])
+                total_bp = int(meta["total_bp"])
+
+        def overflow_check(n, batch_idx):
+            if n > cap:
+                raise RuntimeError(
+                    f"ambiguous-read buffer overflow ({n} > {cap}) at batch "
+                    f"{batch_idx}: set MIDAS_TPU_AMB_CAP higher")
+
         batches = load_read_batches(
             read_paths, batch_size=batch_size,
             max_len=al.max_read_len,
@@ -226,33 +261,47 @@ class SpeciesProfiler:
         )
         if getattr(self, "_batch_filter", None):
             batches = self._batch_filter(batches)  # multi-host striding
-        for batch in batches:
-            total_reads += batch.n_reads
-            total_bp += int(batch.lengths[: batch.n_reads].sum())
+        last_index = skip - 1
+        for db in prefetch_device_batches(batches, ("codes", "lengths"),
+                                          skip_batches=skip):
+            last_index = db.index
+            total_reads += db.n_reads
+            total_bp += db.total_bp
+            codes, lengths, n_reads = db.arrays
             state = ds.species_update(
                 state, al.index_arrays, al.pack_arrays,
-                seq_species, seq_cutoff,
-                jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
-                jnp.int32(batch.n_reads),
+                seq_species, seq_cutoff, codes, lengths, n_reads,
                 scoring=al.scoring, seed_params=al.seed_params,
                 max_len=al.max_read_len, aln_cov=float(self.aln_cov),
                 n_species=n_species)
-        host = jax.device_get(state)
-        amb_n = int(host.amb_n)
-        if amb_n > cap:
-            raise RuntimeError(
-                f"ambiguous-read buffer overflow ({amb_n} > {cap}): "
-                "set MIDAS_TPU_AMB_CAP higher")
-        unique_count = np.asarray(host.uniq_count[:n_species]).astype(np.int64)
-        unique_bp = np.asarray(host.uniq_bp[:n_species]).astype(np.float64)
+            if checkpoint_path and (db.index + 1) % checkpoint_every == 0:
+                h = ds.species_state_host(state)
+                overflow_check(int(h["amb_n"]), db.index)
+                ckpt.save(checkpoint_path, h, dict(
+                    fingerprint=fp, batches_done=db.index + 1,
+                    total_reads=total_reads, total_bp=total_bp))
+        host = ds.species_state_host(state)
+        amb_n = int(host["amb_n"])
+        overflow_check(amb_n, -1)
+        if checkpoint_path:
+            # batches_done = consumed count, so rerunning a completed
+            # run restores this state and the skip exhausts the stream —
+            # byte-identical output, no double counting
+            ckpt.save(checkpoint_path, host, dict(
+                fingerprint=fp, batches_done=last_index + 1,
+                total_reads=total_reads, total_bp=total_bp))
+        unique_count = host["uniq_count"][:n_species].astype(np.int64)
+        unique_bp = host["uniq_bp"][:n_species].astype(np.float64)
         ambiguous = []
-        amb_sp = np.asarray(host.amb_sp[:amb_n])
-        amb_bp = np.asarray(host.amb_bp[:amb_n])
+        amb_sp = host["amb_sp"]
+        amb_bp = host["amb_bp"]
+        amb_seq = host["amb_seq"]
         for r in range(amb_n):
             cols = np.flatnonzero(amb_sp[r] >= 0)
-            ambiguous.append((amb_sp[r, cols], amb_bp[r, cols].astype(np.float64)))
+            ambiguous.append((amb_seq[r, cols], amb_sp[r, cols],
+                              amb_bp[r, cols].astype(np.float64)))
         self.stats = dict(total_reads=total_reads, total_bp=total_bp,
-                          total_alns=int(host.total_alns))
+                          total_alns=int(host["total_alns"]))
         return unique_count, unique_bp, ambiguous
 
     def _write_m8(self, fh, batch, res: AlignmentResult) -> None:
@@ -375,6 +424,7 @@ def run_species(args: Dict) -> Dict:
         abundance = profiler.run(
             paths, read_length=args.get("read_length"),
             max_reads=args.get("max_reads"), m8_path=m8_path,
+            checkpoint_path=os.path.join(outdir, "species/temp/state.npz"),
         )
     with stage_timer("Estimating species abundance", log):
         with open(os.path.join(outdir, "species/temp/read_count.txt"), "w") as f:

@@ -1,1 +1,2 @@
-from midas_tpu.testkit.simulate import SimulatedCommunity, simulate_db, simulate_reads
+from midas_tpu.testkit.simulate import (SimulatedCommunity, simulate_db,
+                                        simulate_paired_reads, simulate_reads)

@@ -250,6 +250,49 @@ def _translate_seq(seq: str) -> str:
     return "".join(aas)
 
 
+def _mutate_read(rng: np.random.Generator, frag: str, read_len: int,
+                 error_rate: float, indel_rate: float,
+                 variant_rate: float = 0.0) -> Tuple[str, str]:
+    """Read model over a fragment with (read_len + slack) bases:
+
+    - sequencing errors at error_rate: substitutions with DEGRADED base
+      quality (phred 2-20) at the error positions — exercising the
+      reference's baseq filter semantics (snps.py:186-199);
+    - biological variants at variant_rate: substitutions at NORMAL
+      quality (real strain variation reads don't flag themselves);
+    - at most one 1-3bp indel per read with probability indel_rate
+      (the fragment slack absorbs deletions);
+    - background base quality phred 32-40.
+
+    Returns (read, qual) both read_len long."""
+    arr = np.frombuffer(frag.encode("ascii"), dtype=np.uint8).copy()
+    if indel_rate > 0 and rng.random() < indel_rate:
+        ilen = int(rng.integers(1, 4))
+        if rng.random() < 0.5 and len(arr) > ilen + 2:   # deletion
+            at = int(rng.integers(1, len(arr) - ilen))
+            arr = np.concatenate([arr[:at], arr[at + ilen:]])
+        else:                                            # insertion
+            at = int(rng.integers(1, len(arr)))
+            ins = _BASES[rng.integers(0, 4, size=ilen)]
+            arr = np.concatenate([arr[:at], ins, arr[at:]])
+    arr = arr[:read_len]
+    n = len(arr)
+    qual = rng.integers(32, 41, size=n).astype(np.int64)
+    for rate, degrade in ((error_rate, True), (variant_rate, False)):
+        nmut = int(np.round(rate * n)) if rate > 0 else 0
+        if not nmut:
+            continue
+        pos = rng.choice(n, size=nmut, replace=False)
+        shift = rng.integers(1, 4, size=nmut)
+        base_idx = np.searchsorted(_BASES, arr[pos])
+        arr[pos] = _BASES[(base_idx + shift) % 4]
+        if degrade:
+            qual[pos] = rng.integers(2, 21, size=nmut)
+    read = arr.tobytes().decode("ascii")
+    qstr = "".join(chr(33 + int(q)) for q in qual)
+    return read, qstr
+
+
 def simulate_reads(
     community: SimulatedCommunity,
     out_fastq: str,
@@ -257,13 +300,20 @@ def simulate_reads(
     read_len: int = 100,
     abundances: Optional[List[float]] = None,
     error_rate: float = 0.005,
+    indel_rate: float = 0.0,
+    variant_rate: float = 0.0,
     seed: int = 1,
 ) -> List[dict]:
     """Sample error-bearing reads from the community's rep genomes.
 
     Returns per-read truth records: species_id, contig_id, 0-based
-    position, strand. Written as gzipped FASTQ with phred-40 qualities
-    degraded at error positions.
+    position, strand. Written as gzipped FASTQ with phred 32-40
+    qualities degraded (phred 2-20) at substitution-ERROR positions;
+    variant_rate adds normal-quality substitutions (biological
+    variation); indel_rate adds at most one 1-3bp indel per read.
+    With indels off the read covers exactly [pos, pos+read_len) on the
+    truth strand; with indels a 3bp fragment slack absorbs deletions
+    (minus-strand coverage then shifts by the slack).
     """
     rng = np.random.default_rng(seed)
     nsp = len(community.species)
@@ -272,6 +322,7 @@ def simulate_reads(
     probs = np.asarray(abundances, dtype=np.float64)
     probs = probs / probs.sum()
     truth: List[dict] = []
+    slack = 3 if indel_rate > 0 else 0
     opener = gzip.open if out_fastq.endswith(".gz") else open
     with opener(out_fastq, "wt") as fq:
         for i in range(n_reads):
@@ -279,16 +330,81 @@ def simulate_reads(
             contig_ids = list(sp.contigs)
             cid = contig_ids[rng.integers(len(contig_ids))]
             seq = sp.contigs[cid]
-            pos = int(rng.integers(0, len(seq) - read_len + 1))
-            frag = seq[pos: pos + read_len]
+            pos = int(rng.integers(0, len(seq) - read_len - slack + 1))
+            frag = seq[pos: pos + read_len + slack]
             strand = "+" if rng.random() < 0.5 else "-"
             if strand == "-":
                 frag = _revcomp(frag)
-            frag = _mutate(rng, frag, error_rate) if error_rate > 0 else frag
+            read, qstr = _mutate_read(rng, frag, read_len, error_rate,
+                                      indel_rate, variant_rate)
             name = f"simread.{i}"
-            fq.write(f"@{name}\n{frag}\n+\n{'I' * read_len}\n")
+            fq.write(f"@{name}\n{read}\n+\n{qstr}\n")
             truth.append({
                 "name": name, "species_id": sp.species_id, "contig_id": cid,
                 "pos": pos, "strand": strand,
             })
+    return truth
+
+
+def simulate_paired_reads(
+    community: SimulatedCommunity,
+    out1: str,
+    out2: Optional[str] = None,
+    n_pairs: int = 1000,
+    read_len: int = 100,
+    frag_range: Tuple[int, int] = (220, 420),
+    abundances: Optional[List[float]] = None,
+    error_rate: float = 0.005,
+    indel_rate: float = 0.0,
+    variant_rate: float = 0.0,
+    seed: int = 1,
+) -> List[dict]:
+    """Mate pairs in fr orientation from rep-genome fragments (the
+    input shape bowtie2 -1/-2/--interleaved consumes, reference
+    midas/run/genes.py:127-132): mate 1 is the fragment's 5' read_len
+    bases, mate 2 the reverse complement of its 3' read_len bases.
+
+    out2=None writes a single interleaved file (--interleaved); else
+    /1 mates go to out1 and /2 mates to out2."""
+    rng = np.random.default_rng(seed)
+    nsp = len(community.species)
+    if abundances is None:
+        abundances = [1.0 / nsp] * nsp
+    probs = np.asarray(abundances, dtype=np.float64)
+    probs = probs / probs.sum()
+    truth: List[dict] = []
+    opener = (lambda p: (gzip.open if p.endswith(".gz") else open)(p, "wt"))
+    f1 = opener(out1)
+    f2 = f1 if out2 is None else opener(out2)
+    try:
+        for i in range(n_pairs):
+            sp = community.species[rng.choice(nsp, p=probs)]
+            contig_ids = list(sp.contigs)
+            cid = contig_ids[rng.integers(len(contig_ids))]
+            seq = sp.contigs[cid]
+            flen = int(rng.integers(frag_range[0], frag_range[1] + 1))
+            flen = min(flen, len(seq))
+            pos = int(rng.integers(0, len(seq) - flen + 1))
+            frag = seq[pos: pos + flen]
+            # fragment sequenced from a random strand
+            flip = rng.random() < 0.5
+            if flip:
+                frag = _revcomp(frag)
+            m1 = frag[: read_len + 3]
+            m2 = _revcomp(frag[-(read_len + 3):])
+            r1, q1 = _mutate_read(rng, m1, read_len, error_rate, indel_rate,
+                                  variant_rate)
+            r2, q2 = _mutate_read(rng, m2, read_len, error_rate, indel_rate,
+                                  variant_rate)
+            name = f"simpair.{i}"
+            f1.write(f"@{name}/1\n{r1}\n+\n{q1}\n")
+            f2.write(f"@{name}/2\n{r2}\n+\n{q2}\n")
+            truth.append({
+                "name": name, "species_id": sp.species_id, "contig_id": cid,
+                "pos": pos, "frag_len": flen, "flipped": flip,
+            })
+    finally:
+        f1.close()
+        if f2 is not f1:
+            f2.close()
     return truth

@@ -39,18 +39,27 @@ def stage_timer(name: str, log=None):
 
 
 def batch_samples(samples: Sequence, threads: int = 1) -> List[List]:
-    """Split samples into batches that respect RLIMIT_NOFILE when every
-    sample in a batch holds an open file per thread (utility.py:38-57)."""
-    import math
+    """Split samples into contiguous batches that respect RLIMIT_NOFILE
+    when every sample in a batch holds an open file (utility.py:38-57).
+    Batches are contiguous slices (like the reference's) so cross-sample
+    column order survives batch-wise processing + reassembly.
 
-    soft, _hard = resource.getrlimit(resource.RLIMIT_NOFILE)
-    max_open = max(int(0.8 * soft / max(threads, 1)), 1)  # 20% headroom
-    smax = min(max_open, len(samples)) or 1
-    nbatch = math.ceil(len(samples) / float(smax))
-    batches: List[List] = [[] for _ in range(nbatch)]
-    for i, s in enumerate(samples):
-        batches[i % nbatch].append(s)
-    return [b for b in batches if b]
+    MIDAS_TPU_MAX_OPEN overrides the rlimit-derived budget (tests use it
+    to exercise the batched path with a handful of samples)."""
+    import math
+    import os
+
+    override = os.environ.get("MIDAS_TPU_MAX_OPEN")
+    if override:
+        max_open = max(int(override), 1)
+    else:
+        soft, _hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+        max_open = max(int(0.8 * soft / max(threads, 1)), 1)  # 20% headroom
+    size = min(max_open, len(samples)) or 1
+    batches: List[List] = []
+    for i in range(0, len(samples), size):
+        batches.append(list(samples[i: i + size]))
+    return batches
 
 CODON_TABLE = {
     "ATA": "I", "ATC": "I", "ATT": "I", "ATG": "M",

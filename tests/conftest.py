@@ -49,8 +49,12 @@ def three_samples(sim_community, tmp_path_factory):
     mixes = [[0.5, 0.3, 0.15, 0.05], [0.2, 0.5, 0.2, 0.1], [0.4, 0.4, 0.1, 0.1]]
     for i, mix in enumerate(mixes):
         fq = str(root / f"reads{i}.fq.gz")
+        # sample 2 carries biological variants (normal base quality, so
+        # they survive the baseq>=30 pileup filter and become SNPs) plus
+        # a smaller sequencing-error load at degraded quality
         simulate_reads(sim_community, fq, n_reads=500, abundances=mix,
-                       error_rate=0.02 if i == 2 else 0.0, seed=10 + i)
+                       variant_rate=0.02 if i == 2 else 0.0,
+                       error_rate=0.005 if i == 2 else 0.0, seed=10 + i)
         outdir = str(root / f"sample{i}")
         base = dict(outdir=outdir, db=sim_community.db_dir, m1=fq, m2=None)
         run_species(dict(base))

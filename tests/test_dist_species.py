@@ -60,7 +60,7 @@ def test_multihost_driver_single_process(single_run, sim_community, tmp_path):
     # single-process merge is the identity
     uc = np.arange(4, dtype=np.int64)
     ub = np.arange(4, dtype=np.float64)
-    amb = [(np.array([0, 1]), np.array([10.0, 20.0]))]
+    amb = [(np.array([2, 5]), np.array([0, 1]), np.array([10.0, 20.0]))]
     st = dict(total_reads=5, total_bp=500, total_alns=7)
     m = merge_species_accumulators(uc, ub, amb, st)
     assert m[0] is uc and m[1] is ub and m[2] is amb and m[3] is st

@@ -110,3 +110,34 @@ def test_reference_fixture_reads_agree(golden, tmp_path):
         prof.cutoffs, prof.marker_info)
     assert set(ours) == set(refs)
     assert all(ours[q][1] == refs[q][1] for q in refs)
+
+
+def test_best_hits_with_indel_reads(golden, tmp_path):
+    """Golden agreement on GAPPED reads: 1-3bp indels at 8% of reads —
+    the first external validation of the banded DP's gap handling
+    (band_width=16) and gap scoring against real megablast. Asserts the
+    same reads align and best-hit sets match read for read."""
+    db = golden["db"]
+    prof = golden["prof"]
+    reads = str(tmp_path / "indel_reads.fq.gz")
+    simulate_reads(db, reads, n_reads=800, read_len=100,
+                   abundances=[0.35, 0.25, 0.2, 0.1, 0.1],
+                   error_rate=0.005, indel_rate=0.08, seed=13)
+    refout = str(tmp_path / "ref")
+    refmidas.run_reference_species(db.db_dir, reads, refout, seed=42,
+                                   tmpdir=str(tmp_path))
+    our_m8 = str(tmp_path / "our.m8")
+    prof.run(reads, batch_size=512, m8_path=our_m8)
+    ours = refmidas.parse_best_hits(our_m8, prof.cutoffs, prof.marker_info)
+    refs = refmidas.parse_best_hits(
+        os.path.join(refout, "species/temp/alignments.m8"),
+        prof.cutoffs, prof.marker_info)
+    only_ours = set(ours) - set(refs)
+    only_ref = set(refs) - set(ours)
+    assert set(ours) == set(refs), (
+        f"hit-read sets differ on indel reads: only_ours={len(only_ours)} "
+        f"only_ref={len(only_ref)} e.g. {sorted(only_ref | only_ours)[:5]}")
+    mismatch = {q for q in refs if ours[q][1] != refs[q][1]}
+    assert not mismatch, (
+        f"{len(mismatch)}/{len(refs)} indel reads with different best-hit "
+        f"sets, e.g. {sorted(mismatch)[:5]}")

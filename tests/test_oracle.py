@@ -98,3 +98,51 @@ def test_bowtie_pid_matches_keep_read_formula():
 def test_score_min_defaults():
     assert GLOBAL_SCORING.score_min(100) == pytest.approx(-60.6)
     assert LOCAL_SCORING.score_min(100) == pytest.approx(20 + 8 * np.log(100))
+
+
+def test_batch_oracle_matches_scalar():
+    """align_oracle_batch must reproduce align_oracle exactly — scores,
+    spans, column maps — on random substitution+indel cases, both modes,
+    ragged lengths."""
+    import numpy as np
+
+    from midas_tpu.align.oracle import align_oracle, align_oracle_batch
+    from midas_tpu.align.params import GLOBAL_SCORING, LOCAL_SCORING
+
+    rng = np.random.default_rng(0)
+    for params in (GLOBAL_SCORING, LOCAL_SCORING):
+        queries, targets = [], []
+        for _ in range(40):
+            m = int(rng.integers(40, 130))
+            t = rng.integers(0, 4, size=m).astype(np.int8)
+            n = int(rng.integers(20, min(m, 100)))
+            lo = int(rng.integers(0, m - n + 1))
+            q = t[lo: lo + n].copy()
+            # substitutions
+            for _ in range(int(rng.integers(0, 4))):
+                p = int(rng.integers(0, len(q)))
+                q[p] = (q[p] + int(rng.integers(1, 4))) % 4
+            # maybe an indel
+            if rng.random() < 0.5 and len(q) > 6:
+                p = int(rng.integers(1, len(q) - 2))
+                if rng.random() < 0.5:
+                    q = np.delete(q, slice(p, p + int(rng.integers(1, 3))))
+                else:
+                    q = np.insert(q, p, rng.integers(0, 4,
+                                                     int(rng.integers(1, 3))))
+            queries.append(q.astype(np.int8))
+            targets.append(t)
+        got = align_oracle_batch(queries, targets, params)
+        for q, t, g in zip(queries, targets, got):
+            want = align_oracle(q, t, params)
+            if want is None:
+                assert g is None
+                continue
+            assert g is not None
+            assert g.score == want.score
+            assert (g.qstart, g.qend, g.tstart, g.tend) == \
+                (want.qstart, want.qend, want.tstart, want.tend)
+            assert (g.matches, g.mismatches, g.gap_opens, g.gap_cols) == \
+                (want.matches, want.mismatches, want.gap_opens, want.gap_cols)
+            np.testing.assert_array_equal(g.col_qpos, want.col_qpos)
+            np.testing.assert_array_equal(g.col_tpos, want.col_tpos)
