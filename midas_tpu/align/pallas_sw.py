@@ -61,7 +61,15 @@ def _shift_planes(planes, shift, fill=0.0):
 
 
 def _make_kernel(L: int, D: int, local: bool, ma: float, mi: float,
-                 go_c: float, ge: float):
+                 go_c: float, ge: float, n_stats: int = N_STATS):
+    """n_stats=6: full statistics (matches, mismatches, gap_cols,
+    gap_opens, qstart, wstart). n_stats=1: score-only mode carrying just
+    the wstart plane — enough for best-hit selection, MAPQ, and the
+    duplicate-alignment drop, at a fraction of the VMEM traffic (the
+    two-pass path in align/pipeline.py runs this over every candidate
+    and the full kernel only over each read's chosen candidate)."""
+    score_only = n_stats == 1
+
     def kernel(q_ref, qlen_ref, ref_ref, out_ref,
                qf_ref, rf_ref, H_ref, Hf_ref, Hst_ref, I_ref, Ist_ref,
                best_ref):
@@ -76,18 +84,18 @@ def _make_kernel(L: int, D: int, local: bool, ma: float, mi: float,
         # init DP state
         H_ref[:, :] = zero
         Hf_ref[:, :] = zero + 1.0
-        Hst_ref[:, :] = jnp.zeros((N_STATS * D, LANES), jnp.float32)
+        Hst_ref[:, :] = jnp.zeros((n_stats * D, LANES), jnp.float32)
         I_ref[:, :] = zero + NEG
-        Ist_ref[:, :] = jnp.zeros((N_STATS * D, LANES), jnp.float32)
+        Ist_ref[:, :] = jnp.zeros((n_stats * D, LANES), jnp.float32)
         best_ref[:, :] = jnp.concatenate([
             jnp.full((1, LANES), NEG, jnp.float32),
             jnp.zeros((OUT_ROWS - 1, LANES), jnp.float32)])
 
         def ld_planes(ref):
-            return tuple(ref[s * D:(s + 1) * D, :] for s in range(N_STATS))
+            return tuple(ref[s * D:(s + 1) * D, :] for s in range(n_stats))
 
         def st_planes(ref, planes):
-            for s in range(N_STATS):
+            for s in range(n_stats):
                 ref[s * D:(s + 1) * D, :] = planes[s]
 
         def body(i, _):
@@ -105,19 +113,30 @@ def _make_kernel(L: int, D: int, local: bool, ma: float, mi: float,
             sub = jnp.where(is_match > 0, ma, mi)
 
             # stats of a path starting with a diagonal move at row i
-            fresh_st = (zero, zero, zero, zero, zero + fi, fi + d_col)
+            if score_only:
+                fresh_st = (fi + d_col,)
+            else:
+                fresh_st = (zero, zero, zero, zero, zero + fi, fi + d_col)
             base_st = _sel(Hp_fresh > 0, fresh_st, Hp_st)
 
             # diagonal
             T1 = Hp + sub
-            T1_st = (base_st[0] + is_match, base_st[1] + (1.0 - is_match),
-                     base_st[2], base_st[3], base_st[4], base_st[5])
+            if score_only:
+                T1_st = base_st
+            else:
+                T1_st = (base_st[0] + is_match,
+                         base_st[1] + (1.0 - is_match),
+                         base_st[2], base_st[3], base_st[4], base_st[5])
 
             # insertion (consumes query), predecessor at offset d+1
             Hp_shift = _shift_up(Hp, 1, NEG)
             Hp_fresh_shift = _shift_up(Hp_fresh, 1, 0.0)
             Hp_st_shift = _shift_planes(Hp_st, 1)
-            fresh_ins = (zero, zero, zero, zero, zero + fi, fi + 1.0 + d_col)
+            if score_only:
+                fresh_ins = (fi + 1.0 + d_col,)
+            else:
+                fresh_ins = (zero, zero, zero, zero, zero + fi,
+                             fi + 1.0 + d_col)
             open_st = _sel(Hp_fresh_shift > 0, fresh_ins, Hp_st_shift)
             Ip_shift = _shift_up(Ip, 1, NEG)
             Ip_st_shift = _shift_planes(Ip_st, 1)
@@ -126,8 +145,10 @@ def _make_kernel(L: int, D: int, local: bool, ma: float, mi: float,
             take_ext = i_ext >= i_open
             I = jnp.where(take_ext, i_ext, i_open)
             I_st = _sel(take_ext, Ip_st_shift, open_st)
-            I_st = (I_st[0], I_st[1], I_st[2] + 1.0,
-                    I_st[3] + jnp.where(take_ext, 0.0, 1.0), I_st[4], I_st[5])
+            if not score_only:
+                I_st = (I_st[0], I_st[1], I_st[2] + 1.0,
+                        I_st[3] + jnp.where(take_ext, 0.0, 1.0),
+                        I_st[4], I_st[5])
 
             # pre-deletion best; diag beats ins on ties
             take_I = I > T1
@@ -136,7 +157,7 @@ def _make_kernel(L: int, D: int, local: bool, ma: float, mi: float,
             if local:
                 clamp = H_noD <= 0.0
                 H_noD = jnp.where(clamp, 0.0, H_noD)
-                H_noD_st = _sel(clamp, (zero,) * N_STATS, H_noD_st)
+                H_noD_st = _sel(clamp, (zero,) * n_stats, H_noD_st)
                 A = jnp.where(clamp, NEG, H_noD + d_col * ge)
             else:
                 A = H_noD + d_col * ge
@@ -154,9 +175,12 @@ def _make_kernel(L: int, D: int, local: bool, ma: float, mi: float,
             excl_A = _shift_up(A, -1, NEG)
             excl_p = _shift_planes(pay, -1)
             D_val = excl_A - go_c - d_col * ge
-            gap_len = d_col - excl_p[N_STATS]
-            D_st = (excl_p[0], excl_p[1], excl_p[2] + gap_len,
-                    excl_p[3] + 1.0, excl_p[4], excl_p[5])
+            if score_only:
+                D_st = (excl_p[0],)
+            else:
+                gap_len = d_col - excl_p[n_stats]
+                D_st = (excl_p[0], excl_p[1], excl_p[2] + gap_len,
+                        excl_p[3] + 1.0, excl_p[4], excl_p[5])
 
             # final H with priority diag > del > ins
             take_D = D_val > T1
@@ -168,7 +192,7 @@ def _make_kernel(L: int, D: int, local: bool, ma: float, mi: float,
             if local:
                 clamp = H <= 0.0
                 H = jnp.where(clamp, 0.0, H)
-                H_st = _sel(clamp, (zero,) * N_STATS, H_st)
+                H_st = _sel(clamp, (zero,) * n_stats, H_st)
                 H_fresh = clamp.astype(jnp.float32)
             else:
                 H_fresh = zero
@@ -196,7 +220,7 @@ def _make_kernel(L: int, D: int, local: bool, ma: float, mi: float,
             best_ref[0:1, :] = jnp.where(improve, row_best, best_ref[0:1, :])
             best_ref[1:2, :] = jnp.where(improve, zrow + fi, best_ref[1:2, :])
             best_ref[2:3, :] = jnp.where(improve, row_best_d, best_ref[2:3, :])
-            for s in range(N_STATS):
+            for s in range(n_stats):
                 best_ref[3 + s: 4 + s, :] = jnp.where(
                     improve, picked[s], best_ref[3 + s: 4 + s, :])
 
@@ -215,7 +239,8 @@ def _make_kernel(L: int, D: int, local: bool, ma: float, mi: float,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "band_width", "interpret"))
+    jax.jit, static_argnames=("params", "band_width", "interpret",
+                              "score_only"))
 def pallas_banded_align(
     query: jnp.ndarray,    # [P, L] int8
     qlens: jnp.ndarray,    # [P] int32
@@ -223,6 +248,7 @@ def pallas_banded_align(
     params: ScoringParams,
     band_width: int = 16,
     interpret: bool = False,
+    score_only: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Drop-in replacement for banded.banded_align running as a Pallas
     TPU kernel. P must be a multiple of 128 (callers pad)."""
@@ -238,9 +264,11 @@ def pallas_banded_align(
     # 8 sublane rows: a (1, 128) int32 block is below the minimum tile
     ql2 = jnp.broadcast_to(qlens.astype(jnp.int32)[None, :], (8, P))
 
+    n_stats = 1 if score_only else N_STATS
     kernel = _make_kernel(
         L, D, params.mode == "local", float(params.match),
-        float(params.mismatch), float(params.gap_open), float(params.gap_extend))
+        float(params.mismatch), float(params.gap_open),
+        float(params.gap_extend), n_stats=n_stats)
 
     out = pl.pallas_call(
         kernel,
@@ -258,14 +286,22 @@ def pallas_banded_align(
             pltpu.VMEM((W, LANES), jnp.float32),            # rf
             pltpu.VMEM((D, LANES), jnp.float32),            # H
             pltpu.VMEM((D, LANES), jnp.float32),            # H_fresh
-            pltpu.VMEM((N_STATS * D, LANES), jnp.float32),  # H stats
+            pltpu.VMEM((n_stats * D, LANES), jnp.float32),  # H stats
             pltpu.VMEM((D, LANES), jnp.float32),            # I
-            pltpu.VMEM((N_STATS * D, LANES), jnp.float32),  # I stats
+            pltpu.VMEM((n_stats * D, LANES), jnp.float32),  # I stats
             pltpu.VMEM((OUT_ROWS, LANES), jnp.float32),     # best rows
         ],
         interpret=interpret,
     )(qT, ql2, rT)
 
+    if score_only:
+        # score-mode stat plane order: (wstart,) at out row 3
+        return dict(
+            score=out[0],
+            qend=(out[1] + 1.0).astype(jnp.int32),
+            wstart=out[3].astype(jnp.int32),
+            wend=(out[1] + out[2] + 1.0).astype(jnp.int32),
+        )
     return dict(
         score=out[0],
         qstart=out[7].astype(jnp.int32),

@@ -72,18 +72,25 @@ class AlignmentResult:
         return 100.0 * (alen - self.nm) / alen
 
 
-def dispatch_banded_align(q_pair, qlens_pair, win_pair, scoring, band_width):
+def dispatch_banded_align(q_pair, qlens_pair, win_pair, scoring, band_width,
+                          score_only: bool = False):
     """Pick the DP implementation for the current backend: the Pallas
     kernel on TPU (~4 orders of magnitude faster than the lowered jnp
     graph), the jnp reference elsewhere. MIDAS_TPU_NO_PALLAS=1 forces
-    the jnp path for debugging."""
+    the jnp path for debugging. score_only=True selects the 1-stat-plane
+    kernel (score/qend/wstart/wend only — pass 1 of the two-pass
+    alignment); the jnp fallback computes full stats and subsets, so
+    results are identical on every backend."""
     import os
 
     use_pallas = (jax.default_backend() not in ("cpu",)
                   and not os.environ.get("MIDAS_TPU_NO_PALLAS"))
     if not use_pallas:
-        return banded_align(q_pair, qlens_pair, win_pair, params=scoring,
-                            band_width=band_width)
+        out = banded_align(q_pair, qlens_pair, win_pair, params=scoring,
+                           band_width=band_width)
+        if score_only:
+            out = {k: out[k] for k in ("score", "qend", "wstart", "wend")}
+        return out
     from midas_tpu.align.pallas_sw import LANES, pallas_banded_align
 
     P = q_pair.shape[0]
@@ -93,7 +100,7 @@ def dispatch_banded_align(q_pair, qlens_pair, win_pair, scoring, band_width):
         qlens_pair = jnp.pad(qlens_pair, (0, pad))
         win_pair = jnp.pad(win_pair, ((0, pad), (0, 0)), constant_values=4)
     out = pallas_banded_align(q_pair, qlens_pair, win_pair, params=scoring,
-                              band_width=band_width)
+                              band_width=band_width, score_only=score_only)
     if pad:
         out = {k: v[:P] for k, v in out.items()}
     return out
@@ -297,3 +304,82 @@ class Aligner:
             self.index_arrays, self.pack_arrays,
             codes, qlens, self.scoring, self.seed_params, self.max_read_len,
         )
+
+
+def align_candidates_score(
+    index_arrays, pack_arrays, codes, qlens,
+    scoring: ScoringParams, seed_params: SeedParams, max_len: int,
+):
+    """Pass 1 of the two-pass alignment: seed + score-only banded DP over
+    every candidate. Returns (out1, aux):
+
+    out1 — [B, C] planes sufficient for best-hit selection, MAPQ,
+    duplicate-drop, and pairing: valid, score, seq_idx, strand,
+    tstart, tend, qend.
+    aux  — what pass 2 (align_chosen_full) needs to re-align just the
+    chosen candidate with full statistics: winstart, rc, strand.
+
+    Scores are identical to _align_batch_stages' (same DP, fewer stat
+    planes — tested), so selection is bit-equal; the full-stat DP then
+    runs over B rows instead of B*C."""
+    B, L = codes.shape
+    C = seed_params.num_cands
+    D = seed_params.band_width
+    W = L + D - 1
+    pack_offsets = pack_arrays["offsets"]
+    cands = find_candidates(index_arrays, codes, qlens,
+                            sp=seed_params, max_len=max_len)
+    winstart = cands["diag"] - D // 2
+    ref_win, seq_idx = gather_windows_packed(
+        pack_arrays["words"], pack_arrays["nmask"], pack_offsets, winstart,
+        window_len=W)
+    q_pair, qlens_pair = _prepare_pairs(codes, qlens, cands["strand"],
+                                        num_cands=C, rc=cands["rc"])
+    out = dispatch_banded_align(q_pair, qlens_pair, ref_win.reshape(B * C, W),
+                                scoring, D, score_only=True)
+    out = {k: v.reshape(B, C) for k, v in out.items()}
+    seq_lo = pack_offsets[seq_idx].astype(jnp.int32)
+    tstart = winstart + out["wstart"] - seq_lo
+    tend = winstart + out["wend"] - seq_lo
+    valid = cands["valid"]
+    # duplicate-alignment drop, exactly as _postprocess
+    same = ((seq_idx[:, :, None] == seq_idx[:, None, :])
+            & (cands["strand"][:, :, None] == cands["strand"][:, None, :])
+            & (tstart[:, :, None] == tstart[:, None, :]))
+    c_iota = jnp.arange(C, dtype=jnp.int32)
+    earlier = c_iota[None, :, None] > c_iota[None, None, :]
+    dup = jnp.any(same & earlier & valid[:, None, :], axis=2)
+    valid = valid & ~dup
+    out1 = dict(valid=valid, score=out["score"], seq_idx=seq_idx,
+                strand=cands["strand"], tstart=tstart, tend=tend,
+                qend=out["qend"])
+    aux = dict(winstart=winstart, rc=cands["rc"], strand=cands["strand"])
+    return out1, aux
+
+
+def align_chosen_full(
+    pack_arrays, aux, codes, qlens, best_col,
+    scoring: ScoringParams, seed_params: SeedParams,
+):
+    """Pass 2: full-statistics banded DP over each read's CHOSEN
+    candidate only ([B] rows — num_cands times less DP work than the
+    single-pass path). Returns [B] planes: score, qstart, qend,
+    matches, mismatches, gap_cols, gap_opens, tstart, tend."""
+    B, L = codes.shape
+    D = seed_params.band_width
+    W = L + D - 1
+    pack_offsets = pack_arrays["offsets"]
+    winstart_b = jnp.take_along_axis(aux["winstart"], best_col[:, None],
+                                     axis=1)           # [B, 1]
+    strand_b = jnp.take_along_axis(aux["strand"], best_col[:, None],
+                                   axis=1)[:, 0]       # [B]
+    ref_win, seq_idx = gather_windows_packed(
+        pack_arrays["words"], pack_arrays["nmask"], pack_offsets, winstart_b,
+        window_len=W)                                  # [B, 1, W], [B, 1]
+    q_best = jnp.where(strand_b[:, None] == 1, aux["rc"], codes)
+    out = dispatch_banded_align(q_best, qlens, ref_win.reshape(B, W),
+                                scoring, D)
+    seq_lo = pack_offsets[seq_idx[:, 0]].astype(jnp.int32)
+    out["tstart"] = winstart_b[:, 0] + out["wstart"] - seq_lo
+    out["tend"] = winstart_b[:, 0] + out["wend"] - seq_lo
+    return out

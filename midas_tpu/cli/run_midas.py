@@ -306,8 +306,25 @@ def _setup_outdir(args: dict, program: str):
     return log
 
 
+def _enable_compile_cache():
+    """Persist XLA compilations across CLI invocations: the fused
+    profiling jits take tens of seconds to compile per process, and a
+    pipeline run is several processes (species -> genes -> snps)."""
+    try:
+        import jax
+
+        cache = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache/midas_tpu/jax"))
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
     args = vars(build_parser().parse_args(argv))
+    _enable_compile_cache()
     program = args["program"]
     check_database(args.get("db"))
     if isinstance(args.get("species_id"), str):

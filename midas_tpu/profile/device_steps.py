@@ -34,7 +34,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from midas_tpu.align.params import ScoringParams
-from midas_tpu.align.pipeline import _align_batch_stages
+from midas_tpu.align.pipeline import (_align_batch_stages,
+                                      align_candidates_score,
+                                      align_chosen_full)
 from midas_tpu.align.seed import SeedParams, revcomp_batch
 
 NEG_INF = -1e30
@@ -219,6 +221,21 @@ def sliced_spill_host(bufs: Dict[str, jnp.ndarray], n: jnp.ndarray,
     host = jax.device_get({k: jax.lax.slice_in_dim(v, 0, take, axis=0)
                            for k, v in bufs.items()})
     return {k: np.asarray(v)[:min(true_n, cap)] for k, v in host.items()}, true_n
+
+
+def keep_mask_chosen(
+    full: Dict[str, jnp.ndarray], qlens: jnp.ndarray,
+    mean_qual: jnp.ndarray, mapq: jnp.ndarray,
+    mapid: float, readq: float, min_mapq: int, aln_cov: float,
+) -> jnp.ndarray:
+    """keep_mask_device twin over the pass-2 per-read ([B]) stats of
+    the chosen candidate (align_chosen_full)."""
+    alen = (full["qend"] - full["qstart"]).astype(jnp.float32)
+    nm = (full["mismatches"] + full["gap_cols"]).astype(jnp.float32)
+    pid = 100.0 * (alen - nm) / jnp.maximum(alen, 1.0)
+    qlen = jnp.maximum(qlens.astype(jnp.float32), 1.0)
+    return ((pid >= mapid) & (mean_qual >= readq)
+            & (mapq >= min_mapq) & (alen / qlen >= aln_cov))
 
 
 def _append_rows(buf: jnp.ndarray, n: jnp.ndarray, rows: jnp.ndarray,
@@ -411,26 +428,34 @@ def genes_update(
     paired: bool = False,
     maxins: int = 500,
 ) -> GenesState:
-    """One batch of CNV counting on device (genes.py:153-203)."""
-    out = _align_batch_stages(index_arrays, pack_arrays,
-                              codes, qlens, scoring, seed_params, max_len)
-    B = out["score"].shape[0]
+    """One batch of CNV counting on device (genes.py:153-203).
+
+    Two-pass alignment: score-only DP over every candidate for
+    selection/MAPQ, then the full-statistics DP over just each read's
+    chosen candidate — num_cands times less stat-plane DP work, same
+    results (scores identical, stats recomputed exactly; tested)."""
+    out1, aux = align_candidates_score(index_arrays, pack_arrays,
+                                       codes, qlens, scoring, seed_params,
+                                       max_len)
+    B = out1["score"].shape[0]
     G = num_genes
     real = jnp.arange(B) < n_reads
     if paired:
         aligned, best_col, mapq = paired_best_hit_device(
-            out, qlens, scoring, maxins=maxins)
+            out1, qlens, scoring, maxins=maxins)
     else:
-        aligned, best_col, mapq = best_hit_device(out, qlens, scoring)
+        aligned, best_col, mapq = best_hit_device(out1, qlens, scoring)
+    full = align_chosen_full(pack_arrays, aux, codes, qlens, best_col,
+                             scoring, seed_params)
     aligned = aligned & real
-    g = _pick(out["seq_idx"], best_col)
+    g = _pick(out1["seq_idx"], best_col)
     ga = jnp.where(aligned, g, G)
     aligned_reads = state.aligned_reads.at[ga].add(1)
-    keep = aligned & keep_mask_device(out, best_col, qlens, mean_qual, mapq,
+    keep = aligned & keep_mask_chosen(full, qlens, mean_qual, mapq,
                                       mapid, readq, min_mapq, aln_cov)
     gk = jnp.where(keep, g, G)
     mapped_reads = state.mapped_reads.at[gk].add(1)
-    alen = _pick(out["qend"], best_col) - _pick(out["qstart"], best_col)
+    alen = full["qend"] - full["qstart"]
     bp = state.bp.at[gk].add(jnp.where(keep, alen, 0))
     return GenesState(aligned_reads, mapped_reads, bp)
 
@@ -541,9 +566,13 @@ def snps_update(
 ) -> SnpsState:
     """One pileup batch on device: gapless kept reads scatter base
     counts directly (the closed-form column map of snps.py's pileup);
-    gapped kept reads spill to a buffer for exact host traceback."""
-    out = _align_batch_stages(index_arrays, pack_arrays,
-                              codes, qlens, scoring, seed_params, max_len)
+    gapped kept reads spill to a buffer for exact host traceback.
+
+    Two-pass alignment (see genes_update): score-only DP over all
+    candidates, full stats only for the chosen one."""
+    out1, aux = align_candidates_score(index_arrays, pack_arrays,
+                                       codes, qlens, scoring, seed_params,
+                                       max_len)
     B, L = codes.shape
     # genome length from the counts buffer, NOT the pack length:
     # the pack carries a GUARD pad beyond total_len (refpack.py)
@@ -552,18 +581,20 @@ def snps_update(
     real = jnp.arange(B) < n_reads
     if paired:
         aligned, best_col, mapq = paired_best_hit_device(
-            out, qlens, scoring, maxins=maxins)
+            out1, qlens, scoring, maxins=maxins)
     else:
-        aligned, best_col, mapq = best_hit_device(out, qlens, scoring)
+        aligned, best_col, mapq = best_hit_device(out1, qlens, scoring)
+    full = align_chosen_full(pack_arrays, aux, codes, qlens, best_col,
+                             scoring, seed_params)
     aligned = aligned & real
-    ci = _pick(out["seq_idx"], best_col)
+    ci = _pick(out1["seq_idx"], best_col)
     sp = contig_species[ci]
     aligned_reads = state.aligned_reads.at[jnp.where(aligned, sp, S)].add(1)
-    keep = aligned & keep_mask_device(out, best_col, qlens, mean_qual, mapq,
+    keep = aligned & keep_mask_chosen(full, qlens, mean_qual, mapq,
                                       mapid, readq, min_mapq, aln_cov)
     mapped_reads = state.mapped_reads.at[jnp.where(keep, sp, S)].add(1)
 
-    strand = _pick(out["strand"], best_col)
+    strand = _pick(out1["strand"], best_col)
     rc_codes = revcomp_batch(codes, qlens)
     # per-read reversed quals in the same left-aligned frame
     j = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -573,10 +604,10 @@ def snps_update(
     qsel = jnp.where(strand[:, None] == 1, rc_codes, codes)
     qqsel = jnp.where(strand[:, None] == 1, rc_quals, quals).astype(jnp.int32)
 
-    gapless = _pick(out["gap_cols"], best_col) == 0
-    qs = _pick(out["qstart"], best_col)
-    qe = _pick(out["qend"], best_col)
-    ts = _pick(out["tstart"], best_col)
+    gapless = full["gap_cols"] == 0
+    qs = full["qstart"]
+    qe = full["qend"]
+    ts = full["tstart"]
     seq_lo = pack_arrays["offsets"][ci].astype(jnp.int32)
     scatter_row = keep & gapless
     in_aln = (j >= qs[:, None]) & (j < qe[:, None])
@@ -589,7 +620,7 @@ def snps_update(
 
     # spill kept gapped reads (strand-adjusted) for exact host traceback
     is_gap = keep & ~gapless
-    te = _pick(out["tend"], best_col)
+    te = full["tend"]
     meta = jnp.stack([ci, ts, te, qlens], axis=1)
     gap_codes, _ = _append_rows(state.gap_codes, state.gap_n,
                                 qsel.astype(jnp.int8), is_gap)

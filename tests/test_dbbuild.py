@@ -160,3 +160,62 @@ def test_build_with_hmm_markers(tmp_path):
     families = {r["marker_id"]: r["gene_id"] for r in rows}
     for j, m in enumerate(models):
         assert families.get(m.name) == f"gX.peg.{j+1}", (m.name, families)
+
+
+def test_cluster_identity_estimate_agrees_with_alignment():
+    """Clustering-agreement measurement (round-2 review item): the
+    k-mer-containment identity estimate that drives greedy_cluster
+    (dbbuild/cluster.py:41-48, replacing vsearch -cluster_fast at
+    build_db.py:204-213) must agree with TRUE alignment identity from
+    the exact oracle on borderline pairs around the 99%/95% thresholds:
+    same clustering decision for pairs clearly on either side, and the
+    estimate within 2 identity points of alignment identity."""
+    import numpy as np
+
+    from midas_tpu.align.oracle import align_oracle
+    from midas_tpu.align.params import ScoringParams
+    from midas_tpu.dbbuild.cluster import (_ani_from_containment, _kmer_set,
+                                           greedy_cluster)
+    from midas_tpu.io.seqio import encode_seq
+
+    # glocal scoring with gentle gaps for a global identity measure
+    ident_scoring = ScoringParams(match=1, mismatch=-1, gap_open=2,
+                                  gap_extend=1, mode="glocal")
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    def mutate(seq, div):
+        arr = np.frombuffer(seq.encode(), dtype=np.uint8).copy()
+        n = int(round(div * len(arr)))
+        pos = rng.choice(len(arr), n, replace=False)
+        shift = rng.integers(1, 4, size=n)
+        idx = np.searchsorted(bases, arr[pos])
+        arr[pos] = bases[(idx + shift) % 4]
+        return arr.tobytes().decode()
+
+    k = 12
+    diffs = []
+    decisions_ok = clear_cases = 0
+    for div in (0.002, 0.005, 0.008, 0.02, 0.04, 0.08, 0.12):
+        for rep in range(3):
+            a = "".join("ACGT"[b] for b in rng.integers(0, 4, 600))
+            b = mutate(a, div)
+            # alignment identity via the exact oracle
+            ca, cb = encode_seq(a), encode_seq(b)
+            aln = align_oracle(ca, cb, ident_scoring)
+            aln_id = aln.matches / max(aln.aln_cols, 1)
+            # the clusterer's containment estimate
+            ka, kb = _kmer_set(ca, k), _kmer_set(cb, k)
+            cont = len(np.intersect1d(ka, kb)) / max(len(ka), 1)
+            est_id = _ani_from_containment(cont, k)
+            diffs.append(abs(est_id - aln_id))
+            # clustering decision agreement at 95% for pairs clearly on
+            # either side of the threshold
+            if abs(aln_id - 0.95) > 0.015:
+                clear_cases += 1
+                got = greedy_cluster(["a", "b"], [a, b], identity=0.95, k=k)
+                same_cluster = got["b"] == got["a"]
+                decisions_ok += int(same_cluster == (aln_id >= 0.95))
+    assert max(diffs) <= 0.02, f"identity estimate off by {max(diffs):.3f}"
+    assert clear_cases >= 10
+    assert decisions_ok == clear_cases, (decisions_ok, clear_cases)

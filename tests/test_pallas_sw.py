@@ -60,3 +60,24 @@ def test_pallas_padding_path():
     out = dispatch_banded_align(jnp.asarray(q), jnp.asarray(qlens),
                                 jnp.asarray(ref), GLOBAL_SCORING, 16)
     assert out["score"].shape == (100,)
+
+
+@pytest.mark.parametrize("params", [GLOBAL_SCORING, MARKER_SCORING,
+                                    LOCAL_SCORING])
+def test_score_only_mode_matches_full(params):
+    """The score-only kernel (1 stat plane) must agree with the full
+    kernel on score/qend/wstart/wend for every pair — pass 1 of the
+    two-pass alignment depends on it."""
+    q, qlens, ref = _case(11, indel=True)
+    full = jax.jit(
+        lambda a, b, c: pallas_banded_align(
+            a, b, c, params=params, interpret=INTERPRET))(
+        jnp.asarray(q), jnp.asarray(qlens), jnp.asarray(ref))
+    fast = jax.jit(
+        lambda a, b, c: pallas_banded_align(
+            a, b, c, params=params, interpret=INTERPRET, score_only=True))(
+        jnp.asarray(q), jnp.asarray(qlens), jnp.asarray(ref))
+    assert set(fast) == {"score", "qend", "wstart", "wend"}
+    for k in fast:
+        np.testing.assert_array_equal(np.asarray(fast[k]),
+                                      np.asarray(full[k]), err_msg=k)
