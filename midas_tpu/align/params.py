@@ -62,51 +62,86 @@ GLOBAL_SCORING = ScoringParams(match=0, mismatch=-6, gap_open=5, gap_extend=3, m
 LOCAL_SCORING = ScoringParams(match=2, mismatch=-6, gap_open=5, gap_extend=3, mode="local")
 
 
-def mapq_from_scores(best: float, second: float, score_min: float,
-                     score_perfect: float, has_second: bool) -> int:
-    """Bowtie2 MapqV2-shaped MAPQ from best/second-best scores.
+# Bowtie2 MapqV2 decision tables (bowtie2 mapq.h, class MapqV2::mapq —
+# public source; the same tree is reproduced in the widely-cited
+# "How does bowtie2 assign MAPQ scores?" analysis). Each unique-branch
+# row is (bestOver/diff threshold, mapq); each tie-branch row is
+# (bestdiff/diff threshold, mapq@perfect, mapq@>=0.84, mapq@>=0.68,
+# mapq@else) where single-valued bands repeat the value. The reference
+# pipeline consumes the result through its mapq>=20 SNP gate
+# (/root/reference/scripts/run_midas.py:413, midas/run/snps.py:141-162).
+_MAPQ_UNIQ_E2E = ((0.8, 42), (0.7, 40), (0.6, 24), (0.5, 23), (0.4, 8),
+                  (0.3, 3))
+_MAPQ_UNIQ_E2E_FLOOR = 0
+_MAPQ_UNIQ_LOCAL = ((0.8, 44), (0.7, 42), (0.6, 41), (0.5, 36), (0.4, 28),
+                    (0.3, 24))
+_MAPQ_UNIQ_LOCAL_FLOOR = 22
+# tie branch: rows for bestdiff >= 0.9..0.1 of diff (descending), then
+# the bestdiff>0 pair and the bestdiff==0 pair (vs bestOver >= 0.67*diff)
+_MAPQ_TIE_E2E = (
+    (0.9, 39, 33, 33, 33),
+    (0.8, 38, 27, 27, 27),
+    (0.7, 37, 26, 26, 26),
+    (0.6, 36, 22, 22, 22),
+    (0.5, 35, 25, 16, 5),
+    (0.4, 34, 21, 14, 4),
+    (0.3, 32, 18, 10, 3),
+    (0.2, 31, 17, 9, 2),
+    (0.1, 30, 15, 8, 1),
+)
+_MAPQ_TIE_E2E_TAIL = ((6, 2), (1, 0))     # (bestdiff>0), (bestdiff==0)
+_MAPQ_TIE_LOCAL = (
+    (0.9, 40, 40, 40, 40),
+    (0.8, 39, 39, 39, 39),
+    (0.7, 33, 33, 33, 33),
+    (0.6, 30, 30, 30, 30),
+    (0.5, 27, 25, 20, 20),
+    (0.4, 26, 19, 15, 15),
+    (0.3, 23, 17, 11, 11),
+    (0.2, 21, 14, 8, 8),
+    (0.1, 19, 13, 6, 6),
+)
+_MAPQ_TIE_LOCAL_TAIL = ((5, 3), (2, 1))
 
-    The no-competitor branch reproduces bowtie2's documented unique-
-    alignment table EXACTLY (bowtie2 mapq.h MapqV2: thresholds
-    0.8/0.7/0.6/0.5/0.4/0.3 of the score range above score_min map to
-    42/40/24/23/8/3/0 — widely documented, e.g. the public 'how does
-    bowtie2 assign MAPQ' analyses). The with-competitor branch keeps
-    bowtie2's two-factor structure (score-gap band x absolute-score
-    band) with calibrated values: exact reproduction of that half is
-    unverifiable in this checkout (bowtie2-align binaries absent per
-    .MISSING_LARGE_BLOBS, no network egress to fetch the source); the
-    contract the reference pipeline needs from it is the mapq>=20 gate
-    (scripts/run_midas.py:413) separating confident hits from ties,
-    unit-tested in tests/test_aligner.py/test_paired.py.
-    """
-    span = max(score_perfect - score_min, 1.0)
+
+def mapq_from_scores(best: float, second: float, score_min: float,
+                     score_perfect: float, has_second: bool,
+                     local: bool = False) -> int:
+    """Bowtie2 MapqV2 MAPQ, transcribed from bowtie2's mapq.h
+    (MapqV2::mapq; end-to-end 'monotone' tree when local=False, local
+    tree when local=True).
+
+    Semantics as in the source: diff = max(scMax - scMin, 1); a
+    second-best alignment only counts when its score is itself valid
+    (>= scMin); bestdiff = |abs(best) - abs(secbest)|; the tie branch
+    bands on bestdiff deciles with bestOver sub-bands at ==diff,
+    >= 0.84*diff, >= 0.68*diff (and a 0.67*diff split in the two tail
+    bands). Transition tests: tests/test_checkpoint.py."""
     if best < score_min:
         return 0
-    norm_best = (best - score_min) / span
-    if not has_second:
-        if norm_best >= 0.8:
-            return 42
-        if norm_best >= 0.7:
-            return 40
-        if norm_best >= 0.6:
-            return 24
-        if norm_best >= 0.5:
-            return 23
-        if norm_best >= 0.4:
-            return 8
-        if norm_best >= 0.3:
-            return 3
-        return 0
-    diff = max(best - second, 0.0)
-    norm_diff = diff / span
-    if norm_diff == 0.0:
-        return 1 if norm_best >= 0.67 else 0
-    if norm_diff >= 0.6:
-        return 42
-    if norm_diff >= 0.4:
-        return 40
-    if norm_diff >= 0.25:
-        return 35 if norm_best >= 0.67 else 25
-    if norm_diff >= 0.1:
-        return 28 if norm_best >= 0.67 else 18
-    return 15 if norm_best >= 0.67 else 5
+    diff = max(score_perfect - score_min, 1.0)
+    best_over = best - score_min
+    if not (has_second and second >= score_min):
+        table = _MAPQ_UNIQ_LOCAL if local else _MAPQ_UNIQ_E2E
+        floor = _MAPQ_UNIQ_LOCAL_FLOOR if local else _MAPQ_UNIQ_E2E_FLOOR
+        for frac, q in table:
+            if best_over >= frac * diff:
+                return q
+        return floor
+    bestdiff = abs(abs(best) - abs(second))
+    rows = _MAPQ_TIE_LOCAL if local else _MAPQ_TIE_E2E
+    tail = _MAPQ_TIE_LOCAL_TAIL if local else _MAPQ_TIE_E2E_TAIL
+    perfect = best_over >= diff - 1e-6
+    for frac, q_perfect, q84, q68, q_else in rows:
+        if bestdiff >= frac * diff:
+            if perfect:
+                return q_perfect
+            if best_over >= 0.84 * diff:
+                return q84
+            if best_over >= 0.68 * diff:
+                return q68
+            return q_else
+    hi = best_over >= 0.67 * diff
+    if bestdiff > 0:
+        return tail[0][0] if hi else tail[0][1]
+    return tail[1][0] if hi else tail[1][1]

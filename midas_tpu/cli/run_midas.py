@@ -86,6 +86,10 @@ def _add_shared_align_args(p, mode_default):
                        help="# reads to use from input file(s) (use all)")
     align.add_argument("-t", dest="threads", default=1,
                        help="Accepted for compatibility")
+    p.add_argument("--force", action="store_true", default=False,
+                   help="Consume an existing alignment state even when it "
+                        "was written with different parameters (downgrades "
+                        "the mismatch error to a warning)")
     return p
 
 

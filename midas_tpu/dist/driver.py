@@ -109,6 +109,130 @@ def merge_species_accumulators(
     return g_count, g_bp, merged, g_stats
 
 
+def _allgather_sum(x: np.ndarray) -> np.ndarray:
+    """Elementwise sum of one per-host array across all processes."""
+    from jax.experimental import multihost_utils as mh
+
+    return np.asarray(mh.process_allgather(np.asarray(x))).sum(axis=0)
+
+
+def _allgather_rows(rows: np.ndarray) -> np.ndarray:
+    """Concatenate per-host row blocks process-major (rank 0's rows
+    first), padding ragged counts — the cross-host twin of the gapped
+    spill's stream-order append."""
+    from jax.experimental import multihost_utils as mh
+
+    n = rows.shape[0]
+    counts = np.asarray(mh.process_allgather(np.int64(n)))
+    n_max = int(counts.max())
+    pad = np.zeros((max(n_max, 1),) + rows.shape[1:], dtype=rows.dtype)
+    pad[:n] = rows
+    g = np.asarray(mh.process_allgather(pad))   # [P, n_max, ...]
+    return np.concatenate([g[p, : int(counts[p])] for p in range(len(counts))])
+
+
+def _make_local_profiler(cls_single, cls_dist, db, species_ids, tp, kw):
+    import jax
+
+    if tp > 1 or len(jax.local_devices()) > 1:
+        from midas_tpu.dist.sharded import make_mesh
+
+        mesh = make_mesh(len(jax.local_devices()), tp=tp)
+        return cls_dist(db, species_ids, mesh=mesh, **kw)
+    return cls_single(db, species_ids, **kw)
+
+
+def _stride_setup(prof, read_paths, pid, pcount):
+    my_paths = shard_read_paths(read_paths, pid, pcount)
+    if pcount > 1 and len(read_paths) < pcount:
+        my_paths = list(read_paths)
+        prof._batch_filter = lambda bs: stride_batches(bs, pid, pcount)
+    return my_paths
+
+
+def run_genes_multihost(
+    db, read_paths, species_ids, outdir: Optional[str] = None,
+    tp: int = 1, batch_size: int = 8192, max_reads: Optional[int] = None,
+    trim: int = 0, paired: bool = False, interleaved: bool = False,
+    **profiler_kw,
+) -> Dict:
+    """Multi-host CNV profiling: every host streams a disjoint shard of
+    the reads onto its local dp x tp mesh, then the tiny [G+1]
+    aligned/mapped/bp accumulators merge with one end-of-stream
+    process_allgather sum (the cross-host analogue of the reference's
+    fork-pool reduction, midas/utility.py:81-107) — no per-batch DCN
+    traffic. Every host computes the same results; rank 0 writes
+    genes/output/*.genes.gz + summary.txt when outdir is given."""
+    import jax
+
+    from midas_tpu.db.layout import Database
+    from midas_tpu.dist.profilers import DistributedGenesProfiler
+    from midas_tpu.profile.genes import GenesProfiler
+
+    if not isinstance(db, Database):
+        db = Database(db)
+    pid, pcount = jax.process_index(), jax.process_count()
+    if isinstance(read_paths, str):
+        read_paths = [read_paths]
+    prof = _make_local_profiler(GenesProfiler, DistributedGenesProfiler,
+                                db, species_ids, tp, profiler_kw)
+    my_paths = _stride_setup(prof, read_paths, pid, pcount)
+    host = prof._accumulate(my_paths, max_reads, trim, batch_size,
+                            paired=paired, interleaved=interleaved)
+    if pcount > 1:
+        host = {k: _allgather_sum(v) for k, v in host.items()}
+    results = prof._finalize(host)
+    if outdir is not None and pid == 0:
+        prof.write_results(outdir)
+    return results
+
+
+def run_snps_multihost(
+    db, read_paths, species_ids, outdir: Optional[str] = None,
+    tp: int = 1, batch_size: int = 8192, max_reads: Optional[int] = None,
+    trim: int = 0, paired: bool = False, interleaved: bool = False,
+    **profiler_kw,
+) -> Dict:
+    """Multi-host SNP pileup: hosts stream disjoint read shards; at end
+    of stream the [4 x G] count tensor and per-species counters merge
+    with a process_allgather sum and the rare gapped-read spill rows
+    concatenate process-major (scatter-adds commute, so row order only
+    needs to be deterministic). Matches the reference's line-range
+    shard merge (midas/merge/snps.py:366-386) with collectives instead
+    of temp files. Rank 0 writes snps/output/*.snps.gz + summary.txt."""
+    import jax
+
+    from midas_tpu.db.layout import Database
+    from midas_tpu.dist.profilers import DistributedSnpsProfiler
+    from midas_tpu.profile.snps import SnpsProfiler
+
+    if not isinstance(db, Database):
+        db = Database(db)
+    pid, pcount = jax.process_index(), jax.process_count()
+    if isinstance(read_paths, str):
+        read_paths = [read_paths]
+    prof = _make_local_profiler(SnpsProfiler, DistributedSnpsProfiler,
+                                db, species_ids, tp, profiler_kw)
+    my_paths = _stride_setup(prof, read_paths, pid, pcount)
+    host = prof._accumulate(my_paths, max_reads, trim, batch_size,
+                            paired=paired, interleaved=interleaved)
+    if pcount > 1:
+        merged = dict(
+            counts=_allgather_sum(host["counts"]),
+            aligned_reads=_allgather_sum(host["aligned_reads"]),
+            mapped_reads=_allgather_sum(host["mapped_reads"]),
+            gap_codes=_allgather_rows(host["gap_codes"]),
+            gap_quals=_allgather_rows(host["gap_quals"]),
+            gap_meta=_allgather_rows(host["gap_meta"]),
+        )
+        merged["gap_n"] = np.int64(merged["gap_codes"].shape[0])
+        host = merged
+    results = prof._finalize(host)
+    if outdir is not None and pid == 0:
+        prof.write_results(outdir)
+    return results
+
+
 def run_species_multihost(
     db, read_paths, outdir: Optional[str] = None,
     tp: int = 1, batch_size: int = 8192,

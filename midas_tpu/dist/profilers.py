@@ -176,17 +176,38 @@ class DistributedGenesProfiler(GenesProfiler):
                     checkpoint_path=None, checkpoint_every: int = 64,
                     paired: bool = False, interleaved: bool = False):
         from midas_tpu.io.prefetch import prefetch_device_batches
+        from midas_tpu.profile import checkpoint as ckpt
         from midas_tpu.profile.common import select_batches
 
         G = self.pack.num_seqs
         al = self.aligner
         state = ds.genes_init(G)
-        if batch_size % self.dp:
-            batch_size += self.dp - batch_size % self.dp
+        # paired mode needs mates (rows 2i/2i+1) inside one dp shard
+        # with an even per-shard row count: round to a multiple of 2*dp
+        # (a plain dp multiple can leave B/dp odd and crash the pair
+        # reshape in paired_best_hit_device)
+        mult = 2 * self.dp if paired else self.dp
+        if batch_size % mult:
+            batch_size += mult - batch_size % mult
+        skip = 0
+        fp = None
+        if checkpoint_path:
+            fp = self._fingerprint(read_paths, max_reads, trim, batch_size,
+                                   paired=paired, interleaved=interleaved)
+            got = ckpt.load(checkpoint_path, fp)
+            if got is not None:
+                arrays, meta = got
+                state = ds.genes_state_restore(arrays)
+                skip = int(meta["batches_done"])
+        last_index = skip - 1
         batches = select_batches(read_paths, batch_size, al.max_read_len,
                                  max_reads, paired, interleaved)
+        if getattr(self, "_batch_filter", None):
+            batches = self._batch_filter(batches)  # multi-host striding
         for db in prefetch_device_batches(
-                batches, ("codes", "lengths", "mean_qual"), trim=trim):
+                batches, ("codes", "lengths", "mean_qual"), trim=trim,
+                skip_batches=skip):
+            last_index = db.index
             codes, lengths, mean_qual, n_reads = db.arrays
             state = dist_genes_update(
                 self.mesh, state, self.shard_index_arrays, self.shard_pack,
@@ -195,7 +216,16 @@ class DistributedGenesProfiler(GenesProfiler):
                 max_len=al.max_read_len, mapid=float(self.mapid),
                 readq=float(self.readq), min_mapq=int(self.mapq),
                 aln_cov=float(self.aln_cov), paired=bool(paired))
-        return ds.genes_state_host(state)
+            if checkpoint_path and (db.index + 1) % checkpoint_every == 0:
+                ckpt.save(checkpoint_path, ds.genes_state_host(state),
+                          dict(fingerprint=fp, batches_done=db.index + 1,
+                               guard=self._guard()))
+        host = ds.genes_state_host(state)
+        if checkpoint_path:
+            ckpt.save(checkpoint_path, host,
+                      dict(fingerprint=fp, batches_done=last_index + 1,
+                           guard=self._guard()))
+        return host
 
 
 @functools.partial(
@@ -300,16 +330,34 @@ def dist_snps_update(
 
         # gapped spill in GLOBAL coordinates (identical on all ranks):
         # a non-tiled dp gather rebuilds full-batch rows so the append
-        # outside the shard_map sees stream order
+        # outside the shard_map sees stream order. Gapped kept reads
+        # are RARE (typically zero per batch), so the [B, L] plane
+        # gathers — per-batch DCN traffic at multi-host scale — are
+        # gated on a one-scalar psum: no gapped read anywhere, no
+        # gather (the predicate is replicated over "dp", so every rank
+        # takes the same cond branch and the collective stays legal).
         is_gap = keep & ~gapless
         te = ds._pick(g["tend"], best_col)
         meta = jnp.stack([gci, ts, te, qlens], axis=1)
-        g_codes = jax.lax.all_gather(qsel.astype(jnp.int8), "dp",
-                                     axis=0, tiled=True)
-        g_quals = jax.lax.all_gather(qqsel.astype(jnp.int8), "dp",
-                                     axis=0, tiled=True)
-        g_meta = jax.lax.all_gather(meta, "dp", axis=0, tiled=True)
-        g_isgap = jax.lax.all_gather(is_gap, "dp", axis=0, tiled=True)
+        n_gap_global = jax.lax.psum(jnp.sum(is_gap.astype(jnp.int32)), "dp")
+
+        def do_gather():
+            return (jax.lax.all_gather(qsel.astype(jnp.int8), "dp",
+                                       axis=0, tiled=True),
+                    jax.lax.all_gather(qqsel.astype(jnp.int8), "dp",
+                                       axis=0, tiled=True),
+                    jax.lax.all_gather(meta, "dp", axis=0, tiled=True),
+                    jax.lax.all_gather(is_gap, "dp", axis=0, tiled=True))
+
+        def no_gather():
+            dp = mesh.shape["dp"]
+            return (jnp.zeros((Bl * dp, L), jnp.int8),
+                    jnp.zeros((Bl * dp, L), jnp.int8),
+                    jnp.zeros((Bl * dp, 4), jnp.int32),
+                    jnp.zeros((Bl * dp,), jnp.bool_))
+
+        g_codes, g_quals, g_meta, g_isgap = jax.lax.cond(
+            n_gap_global > 0, do_gather, no_gather)
         return (counts[None], jax.lax.psum(d_aligned, "dp"),
                 jax.lax.psum(d_mapped, "dp"),
                 g_codes, g_quals, g_meta, g_isgap)
@@ -378,6 +426,30 @@ class DistributedSnpsProfiler(SnpsProfiler):
         self.stripe_real = np.asarray(offsets)[:, -1].astype(np.int64)
         self.stripe_len = int(self.stripe_real.max())
 
+    def _reassemble_counts(self, stripes: np.ndarray) -> np.ndarray:
+        """[tp, 4*(stripe_len+1)] rank stripes -> the single-chip flat
+        [4 * (G_total + 1)] counts layout _finalize expects."""
+        G = self.pack.total_len
+        full = np.zeros((4, G + 1), dtype=np.int32)
+        for r in range(self.tp):
+            Lr = int(self.stripe_real[r])
+            lo = int(self.shard_base[r])
+            stripe = stripes[r].reshape(4, self.stripe_len + 1)
+            full[:, lo: lo + Lr] += stripe[:, :Lr]
+        return full.reshape(-1)
+
+    def _shard_counts(self, flat: np.ndarray) -> np.ndarray:
+        """Inverse of _reassemble_counts (checkpoint restore): slice the
+        flat [4*(G+1)] counts back into per-rank stripes (the per-stripe
+        dump column Gs resets to 0 — it only ever held discards)."""
+        full = flat.reshape(4, self.pack.total_len + 1)
+        stripes = np.zeros((self.tp, 4, self.stripe_len + 1), dtype=np.int32)
+        for r in range(self.tp):
+            Lr = int(self.stripe_real[r])
+            lo = int(self.shard_base[r])
+            stripes[r, :, :Lr] = full[:, lo: lo + Lr]
+        return stripes.reshape(self.tp, -1)
+
     def _accumulate(self, read_paths, max_reads, trim, batch_size,
                     gap_cap=None, checkpoint_path=None,
                     checkpoint_every: int = 64, paired: bool = False,
@@ -385,6 +457,7 @@ class DistributedSnpsProfiler(SnpsProfiler):
         import os
 
         from midas_tpu.io.prefetch import prefetch_device_batches
+        from midas_tpu.profile import checkpoint as ckpt
         from midas_tpu.profile.common import select_batches
 
         S = len(self.species_ids)
@@ -395,13 +468,42 @@ class DistributedSnpsProfiler(SnpsProfiler):
         state = ds.snps_init(0, S, cap, L)
         counts = jnp.zeros((self.tp, 4 * (self.stripe_len + 1)), jnp.int32)
         contig_species = jnp.asarray(self.contig_species)
-        if batch_size % self.dp:
-            batch_size += self.dp - batch_size % self.dp
+        mult = 2 * self.dp if paired else self.dp   # see genes twin
+        if batch_size % mult:
+            batch_size += mult - batch_size % mult
+        skip = 0
+        fp = None
+        if checkpoint_path:
+            fp = ckpt.fingerprint(
+                kind="snps", paths=list(map(str, np.atleast_1d(read_paths))),
+                max_reads=max_reads, trim=trim, batch_size=batch_size,
+                mapid=self.mapid, readq=self.readq, mapq=self.mapq,
+                baseq=self.baseq, aln_cov=self.aln_cov, cap=cap,
+                species=self.species_ids, paired=paired,
+                interleaved=interleaved)
+            got = ckpt.load(checkpoint_path, fp)
+            if got is not None:
+                arrays, meta = got
+                state = ds.snps_state_restore(
+                    {**arrays, "counts": np.zeros(4, np.int32)}, cap)
+                counts = jnp.asarray(self._shard_counts(arrays["counts"]))
+                skip = int(meta["batches_done"])
+
+        def snapshot() -> Dict:
+            h = ds.snps_state_host(state)
+            h["counts"] = self._reassemble_counts(
+                np.asarray(jax.device_get(counts)))
+            return h
+
+        last_index = skip - 1
         batches = select_batches(read_paths, batch_size, L, max_reads,
                                  paired, interleaved)
+        if getattr(self, "_batch_filter", None):
+            batches = self._batch_filter(batches)  # multi-host striding
         for db in prefetch_device_batches(
                 batches, ("codes", "quals", "lengths", "mean_qual"),
-                trim=trim):
+                trim=trim, skip_batches=skip):
+            last_index = db.index
             codes, quals, lengths, mean_qual, n_reads = db.arrays
             counts, state = dist_snps_update(
                 self.mesh, counts, state, self.shard_index_arrays,
@@ -412,20 +514,22 @@ class DistributedSnpsProfiler(SnpsProfiler):
                 min_mapq=int(self.mapq), baseq=int(self.baseq),
                 aln_cov=float(self.aln_cov), stripe_len=self.stripe_len,
                 paired=bool(paired))
-        host = ds.snps_state_host(state)
+            if checkpoint_path and (db.index + 1) % checkpoint_every == 0:
+                h = snapshot()
+                if int(h["gap_n"]) > cap:
+                    raise RuntimeError(
+                        f"gapped-read buffer overflow ({int(h['gap_n'])} > "
+                        f"{cap}): set MIDAS_TPU_GAP_CAP higher")
+                ckpt.save(checkpoint_path, h,
+                          dict(fingerprint=fp, batches_done=db.index + 1,
+                               guard=self._guard()))
+        host = snapshot()
         if int(host["gap_n"]) > cap:
             raise RuntimeError(
                 f"gapped-read buffer overflow ({int(host['gap_n'])} > {cap}):"
                 " set MIDAS_TPU_GAP_CAP higher")
-        # reassemble the sharded stripes into the single-chip counts
-        # layout _finalize expects: flat [4 * (G_total + 1)]
-        stripes = np.asarray(jax.device_get(counts))
-        G = self.pack.total_len
-        full = np.zeros((4, G + 1), dtype=np.int32)
-        for r in range(self.tp):
-            Lr = int(self.stripe_real[r])
-            lo = int(self.shard_base[r])
-            stripe = stripes[r].reshape(4, self.stripe_len + 1)
-            full[:, lo: lo + Lr] += stripe[:, :Lr]
-        host["counts"] = full.reshape(-1)
+        if checkpoint_path:
+            ckpt.save(checkpoint_path, host,
+                      dict(fingerprint=fp, batches_done=last_index + 1,
+                           guard=self._guard()))
         return host

@@ -205,23 +205,41 @@ class DistributedSpeciesProfiler(SpeciesProfiler):
         from midas_tpu.io.batch import load_read_batches
         from midas_tpu.io.prefetch import prefetch_device_batches
 
+        import dataclasses as _dc
+
         n_species = len(self.species_order)
         cap = amb_cap or int(os.environ.get("MIDAS_TPU_AMB_CAP", "262144"))
         al = self.aligner
+        if batch_size % self.dp:
+            batch_size += self.dp - batch_size % self.dp
+        cap = max(cap, 2 * batch_size)
         # amb rows hold the gathered [tp * C] candidate table
         state = ds.species_init(n_species, self.tp * al.seed_params.num_cands,
                                 cap)
         seq_species = jnp.asarray(self.seq_species)
         seq_cutoff = jnp.asarray(self.seq_cutoff)
-        if batch_size % self.dp:
-            batch_size += self.dp - batch_size % self.dp
         total_reads = total_bp = 0
+        drained = []   # host spill rows in stream order (see the
+        #                single-chip twin in profile/species.py)
+
+        def drain(state):
+            spill, n = ds.sliced_spill_host(
+                dict(amb_sp=state.amb_sp, amb_bp=state.amb_bp,
+                     amb_seq=state.amb_seq), state.amb_n, cap)
+            if n > cap:
+                raise RuntimeError(
+                    f"ambiguous spill staging overflow ({n} > {cap})")
+            if n:
+                drained.append(spill)
+            return _dc.replace(state, amb_n=jnp.zeros((), jnp.int32))
+
         batches = load_read_batches(
             read_paths, batch_size=batch_size, max_len=al.max_read_len,
             read_length=read_length, max_reads=max_reads,
         )
         if getattr(self, "_batch_filter", None):
             batches = self._batch_filter(batches)  # multi-host striding
+        rows_bound = 0
         for db in prefetch_device_batches(batches, ("codes", "lengths")):
             total_reads += db.n_reads
             total_bp += db.total_bp
@@ -234,12 +252,19 @@ class DistributedSpeciesProfiler(SpeciesProfiler):
                 scoring=al.scoring, seed_params=al.seed_params,
                 max_len=al.max_read_len, aln_cov=float(self.aln_cov),
                 n_species=n_species)
+            rows_bound += db.n_reads
+            if rows_bound > cap - batch_size:
+                state = drain(state)
+                rows_bound = 0
+        state = drain(state)
         host = ds.species_state_host(state)
-        amb_n = int(host["amb_n"])
-        if amb_n > cap:
-            raise RuntimeError(
-                f"ambiguous-read buffer overflow ({amb_n} > {cap}): "
-                "set MIDAS_TPU_AMB_CAP higher")
+        keys = ("amb_sp", "amb_bp", "amb_seq")
+        if drained:
+            host.update({k: np.concatenate([d[k] for d in drained])
+                         for k in keys})
+        else:
+            host.update({k: host[k][:0] for k in keys})
+        amb_n = host["amb_sp"].shape[0]
         unique_count = host["uniq_count"][:n_species].astype(np.int64)
         unique_bp = host["uniq_bp"][:n_species].astype(np.float64)
         ambiguous = []

@@ -111,6 +111,22 @@ def load_read_batches(
         yield batch_reads(buf, batch_size, max_len)
 
 
+def _check_interleaved_pairs(b: ReadBatch) -> None:
+    """When interleaved read names carry bowtie2-style /1 and /2 mate
+    suffixes, verify rows 2i/2i+1 really are mates of the same fragment
+    (batch sizes are even, so pairs never straddle batches)."""
+    for i in range(0, b.n_reads - 1, 2):
+        a, c = b.names[i], b.names[i + 1]
+        a_sfx = a[-2:] in ("/1", "/2")
+        c_sfx = c[-2:] in ("/1", "/2")
+        if not (a_sfx or c_sfx):
+            continue
+        if not (a.endswith("/1") and c.endswith("/2") and a[:-2] == c[:-2]):
+            raise ValueError(
+                f"--interleaved mate pairing broken at reads {a!r} / {c!r}:"
+                " expected name/1 followed by name/2")
+
+
 def load_paired_batches(
     m1: str,
     m2: Optional[str] = None,
@@ -136,10 +152,20 @@ def load_paired_batches(
     if batch_size % 2:
         batch_size += 1
     if interleaved or m2 is None:
-        yield from load_read_batches(
-            [m1], batch_size=batch_size, max_len=max_len,
-            read_length=read_length,
-            max_reads=2 * max_reads if max_reads else None)
+        total = 0
+        for b in load_read_batches(
+                [m1], batch_size=batch_size, max_len=max_len,
+                read_length=read_length,
+                max_reads=2 * max_reads if max_reads else None):
+            if interleaved:
+                _check_interleaved_pairs(b)
+            total += b.n_reads
+            yield b
+        if interleaved and total % 2:
+            raise ValueError(
+                f"--interleaved input has an odd read count ({total}): "
+                "a truncated file would silently shift every subsequent "
+                "mate pairing")
         return
     half = batch_size // 2
     it1 = load_read_batches([m1], batch_size=half, max_len=max_len,

@@ -47,38 +47,64 @@ def prefetch_device_batches(
     resume: the stream is deterministic, so batch k+1 onward reproduce
     the original run exactly).
 
-    Exceptions in the producer re-raise in the consumer."""
+    Exceptions in the producer re-raise in the consumer. If the
+    consumer abandons the generator early (break, or an exception in
+    the consuming loop), the producer notices via a stop flag and
+    terminates instead of blocking forever on a full queue."""
     import jax
 
     q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
     END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def produce():
         try:
             for bi, batch in enumerate(batches):
+                if stop.is_set():
+                    return
                 if bi < skip_batches:
                     continue
                 if trim:
                     batch.lengths = np.maximum(
                         batch.lengths - trim, 0).astype(np.int32)
                     L = batch.codes.shape[1]
-                    mask = np.arange(L)[None, :] >= batch.lengths[:, None]
-                    batch.codes[mask] = 4
+                    keep = np.arange(L)[None, :] < batch.lengths[:, None]
+                    batch.codes[~keep] = 4
+                    # the readq filter's mean quality is over the read
+                    # as aligned (reference np.mean(aln.query_qualities)
+                    # AFTER --trim3, midas/run/genes.py:122,160) — drop
+                    # the trimmed bases' quals from the mean
+                    qs = np.where(keep, batch.quals, 0).astype(np.float64)
+                    n = np.maximum(batch.lengths, 1).astype(np.float64)
+                    batch.mean_qual = (qs.sum(axis=1) / n).astype(np.float32)
                 arrays = tuple(
                     jax.device_put(getattr(batch, f)) for f in fields
                 ) + (jax.device_put(np.int32(batch.n_reads)),)
                 total_bp = int(batch.lengths[: batch.n_reads].sum())
-                q.put(DeviceBatch(batch.n_reads, total_bp, arrays, bi))
-            q.put(END)
+                if not _put(DeviceBatch(batch.n_reads, total_bp, arrays, bi)):
+                    return
+            _put(END)
         except BaseException as e:  # noqa: BLE001 - re-raised in consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is END:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

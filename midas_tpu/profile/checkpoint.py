@@ -63,3 +63,41 @@ def load(path: str, expect_fingerprint: str
     if got is None or got[1].get("fingerprint") != expect_fingerprint:
         return None
     return got
+
+
+def load_guarded(path: str, guard: Dict, force: bool = False
+                 ) -> Optional[Tuple[Dict[str, np.ndarray], Dict]]:
+    """Load for a later-stage consumer (--call_genes / --pileup without
+    --align): the stream fingerprint cannot be recomputed (read paths
+    are unknown at that stage), but the finalize-relevant parameters —
+    filter cutoffs baked into the accumulators at --align time, the
+    species list, the pack geometry — MUST match or the stage would
+    silently mis-slice / mis-filter (the reference at least verifies the
+    right intermediate exists, scripts/run_midas.py:535-566; our
+    checkpoints carry the actual parameters, so verify those). force
+    downgrades a mismatch to a warning."""
+    import sys
+
+    got = load_any(path)
+    if got is None:
+        return None
+    saved = got[1].get("guard")
+    if saved is None:
+        print(f"Warning: checkpoint {path} predates parameter guards; "
+              "cannot verify it matches this invocation", file=sys.stderr)
+        return got
+    diffs = {k: (saved.get(k), guard[k]) for k in guard
+             if saved.get(k) != guard[k]}
+    extra = {k: saved[k] for k in saved if k not in guard}
+    for k, v in extra.items():
+        diffs[k] = (v, None)
+    if diffs:
+        lines = "\n".join(f"  {k}: checkpoint={a!r} vs current={b!r}"
+                          for k, (a, b) in sorted(diffs.items()))
+        msg = (f"checkpoint {path} was written with different "
+               f"parameters:\n{lines}")
+        if not force:
+            sys.exit(f"\nError: {msg}\nRerun with --align (or pass "
+                     "--force to consume it anyway)\n")
+        print(f"Warning (--force): {msg}", file=sys.stderr)
+    return got

@@ -104,16 +104,26 @@ def pick_best_hits(
     B, C = res.score.shape
     score_min = np.array([scoring.score_min(max(int(l), 1)) for l in lengths[:B]])
     scores = np.where(res.valid, res.score, -np.inf)
-    order = np.argsort(-scores, axis=1, kind="stable")
-    best_col = order[:, 0]
+    # canonical multimapper arbitration — the host twin of
+    # device_steps.canonical_best_col: among equal-best candidates pick
+    # the smallest (seq_idx, tstart, strand)
+    BIG = np.int64(2**62)
+    best = scores.max(axis=1)
+    isb = res.valid & (scores == best[:, None]) & np.isfinite(scores)
+    for key in (res.seq_idx, res.tstart, res.strand):
+        v = np.where(isb, key.astype(np.int64), BIG)
+        isb = isb & (v == v.min(axis=1)[:, None])
+    best_col = isb.argmax(axis=1)
     rows = np.arange(B)
-    best = scores[rows, best_col]
-    second = scores[rows, order[:, 1]] if C > 1 else np.full(B, -np.inf)
+    masked = scores.copy()
+    masked[rows, best_col] = -np.inf
+    second = masked.max(axis=1) if C > 1 else np.full(B, -np.inf)
     aligned = np.isfinite(best) & (best >= score_min)
     mapq = np.zeros(B, dtype=np.int32)
     for i in np.flatnonzero(aligned):
         mapq[i] = mapq_from_scores(
             float(best[i]), float(second[i]), float(score_min[i]),
             scoring.score_perfect(int(lengths[i])), bool(np.isfinite(second[i])),
+            local=scoring.mode == "local",
         )
     return aligned, best_col, mapq

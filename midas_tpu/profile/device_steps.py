@@ -57,32 +57,65 @@ def score_min_device(scoring: ScoringParams, qlens: jnp.ndarray) -> jnp.ndarray:
 
 def mapq_device(
     best: jnp.ndarray, second: jnp.ndarray, smin: jnp.ndarray,
-    sperf: jnp.ndarray, has_second: jnp.ndarray,
+    sperf: jnp.ndarray, has_second: jnp.ndarray, local: bool = False,
 ) -> jnp.ndarray:
-    """Vectorized params.mapq_from_scores (bowtie2 MapqV2 unique-branch
-    table exactly; calibrated two-factor tie branch — see the host twin's
-    docstring for the provenance and verification limits)."""
+    """Vectorized params.mapq_from_scores — bowtie2 MapqV2 (mapq.h),
+    both trees. The where-ladders are BUILT from the same table
+    constants the host twin walks, so the two cannot drift."""
+    from midas_tpu.align import params as ap
+
     span = jnp.maximum(sperf - smin, 1.0)
-    norm_best = (best - smin) / span
-    diff = jnp.maximum(best - second, 0.0)
-    norm_diff = diff / span
-    hi = norm_best >= 0.67
-    single = jnp.where(norm_best >= 0.8, 42,
-                       jnp.where(norm_best >= 0.7, 40,
-                                 jnp.where(norm_best >= 0.6, 24,
-                                           jnp.where(norm_best >= 0.5, 23,
-                                                     jnp.where(norm_best >= 0.4, 8,
-                                                               jnp.where(norm_best >= 0.3, 3, 0))))))
-    paired = jnp.where(
-        norm_diff == 0.0, jnp.where(hi, 1, 0),
-        jnp.where(norm_diff >= 0.6, 42,
-                  jnp.where(norm_diff >= 0.4, 40,
-                            jnp.where(norm_diff >= 0.25, jnp.where(hi, 35, 25),
-                                      jnp.where(norm_diff >= 0.1,
-                                                jnp.where(hi, 28, 18),
-                                                jnp.where(hi, 15, 5))))))
-    q = jnp.where(has_second, paired, single)
+    best_over = best - smin
+    valid2 = has_second & (second >= smin)
+    # normalized ratios: integer-valued scores divided by span land ON
+    # the f32 representation of the fraction thresholds, matching the
+    # host twin's f64 `best_over >= frac*diff` at exact band boundaries
+    # (raw f32 `frac*span` rounds 0.6*100 up to 60.000002 and misses)
+    nb = best_over / span
+
+    uniq_table = ap._MAPQ_UNIQ_LOCAL if local else ap._MAPQ_UNIQ_E2E
+    floor = (ap._MAPQ_UNIQ_LOCAL_FLOOR if local else ap._MAPQ_UNIQ_E2E_FLOOR)
+    single = jnp.full_like(best_over, floor)
+    for frac, q in reversed(uniq_table):
+        single = jnp.where(nb >= frac, q, single)
+
+    bestdiff = jnp.abs(jnp.abs(best) - jnp.abs(second))
+    nd = bestdiff / span
+    perfect = nb >= 1.0 - 1e-6
+    ov84 = nb >= 0.84
+    ov68 = nb >= 0.68
+    hi = nb >= 0.67
+    rows = ap._MAPQ_TIE_LOCAL if local else ap._MAPQ_TIE_E2E
+    tail = ap._MAPQ_TIE_LOCAL_TAIL if local else ap._MAPQ_TIE_E2E_TAIL
+    tie = jnp.where(bestdiff > 0,
+                    jnp.where(hi, tail[0][0], tail[0][1]),
+                    jnp.where(hi, tail[1][0], tail[1][1])).astype(jnp.float32)
+    for frac, q_perfect, q84, q68, q_else in reversed(rows):
+        band = jnp.where(perfect, q_perfect,
+                         jnp.where(ov84, q84, jnp.where(ov68, q68, q_else)))
+        tie = jnp.where(nd >= frac, band, tie)
+
+    q = jnp.where(valid2, tie, single)
     return jnp.where(best < smin, 0, q).astype(jnp.int32)
+
+
+def canonical_best_col(out: Dict[str, jnp.ndarray],
+                       scores: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic multimapper arbitration: among the equal-best-score
+    candidates pick the smallest (seq_idx, tstart, strand) — a GLOBAL
+    order, so single-chip and tp-sharded candidate tables resolve ties
+    identically (bowtie2's own arbitration is pseudorandom; determinism
+    here is a strict improvement, cf. the reference's unseeded RNG at
+    midas/run/species.py:113-117). Candidates with identical
+    (seq, tstart, strand) are duplicates and were already dropped, so
+    exactly one column survives the three filters."""
+    BIG = jnp.int32(2**31 - 1)
+    best = jnp.max(scores, axis=1)
+    isb = out["valid"] & (scores == best[:, None]) & (scores > NEG_INF / 2)
+    for key in ("seq_idx", "tstart", "strand"):
+        v = jnp.where(isb, out[key].astype(jnp.int32), BIG)
+        isb = isb & (v == jnp.min(v, axis=1)[:, None])
+    return jnp.argmax(isb, axis=1).astype(jnp.int32)
 
 
 def best_hit_device(
@@ -92,7 +125,7 @@ def best_hit_device(
 
     Returns (aligned [B] bool, best_col [B] i32, mapq [B] i32)."""
     scores = jnp.where(out["valid"], out["score"], NEG_INF)
-    best_col = jnp.argmax(scores, axis=1).astype(jnp.int32)
+    best_col = canonical_best_col(out, scores)
     best = _pick(scores, best_col)
     masked = scores.at[jnp.arange(scores.shape[0]), best_col].set(NEG_INF)
     second = jnp.max(masked, axis=1)
@@ -101,7 +134,8 @@ def best_hit_device(
     sperf = scoring.match * jnp.maximum(qlens.astype(jnp.float32), 1.0)
     aligned = (best > NEG_INF / 2) & (best >= smin)
     mapq = mapq_device(best, jnp.where(has_second, second, NEG_INF),
-                       smin, sperf, has_second)
+                       smin, sperf, has_second,
+                       local=scoring.mode == "local")
     return aligned, best_col, mapq
 
 
@@ -152,7 +186,18 @@ def paired_best_hit_device(
     pair_sc = jnp.where(conc, s1[:, :, None] + s2[:, None, :], NEG_INF)
 
     flat = pair_sc.reshape(Pn, C * C)
-    best_flat = jnp.argmax(flat, axis=1).astype(jnp.int32)
+    # canonical pair arbitration (see canonical_best_col): among
+    # equal-best concordant pairs pick the smallest (seq, t1start,
+    # t2start) so tie resolution is pool-order independent
+    BIG = jnp.int32(2**31 - 1)
+    pair_best0 = jnp.max(flat, axis=1)
+    isb = (flat == pair_best0[:, None]) & (flat > NEG_INF / 2)
+    for plane in (jnp.broadcast_to(seq1[:, :, None], (Pn, C, C)),
+                  jnp.broadcast_to(t1s[:, :, None], (Pn, C, C)),
+                  jnp.broadcast_to(t2s[:, None, :], (Pn, C, C))):
+        v = jnp.where(isb, plane.reshape(Pn, C * C).astype(jnp.int32), BIG)
+        isb = isb & (v == jnp.min(v, axis=1)[:, None])
+    best_flat = jnp.argmax(isb, axis=1).astype(jnp.int32)
     pair_best = jnp.take_along_axis(flat, best_flat[:, None], axis=1)[:, 0]
     masked = flat.at[jnp.arange(Pn), best_flat].set(NEG_INF)
     pair_second = jnp.max(masked, axis=1)
@@ -168,7 +213,8 @@ def paired_best_hit_device(
                             jnp.where(pair_second > NEG_INF / 2, pair_second,
                                       NEG_INF),
                             smin_pair, sperf_pair,
-                            pair_second > NEG_INF / 2)
+                            pair_second > NEG_INF / 2,
+                            local=scoring.mode == "local")
 
     # unpaired fallback per mate (mixed mode)
     u_aligned, u_col, u_mapq = best_hit_device(out, qlens, scoring)

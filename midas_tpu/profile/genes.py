@@ -110,6 +110,8 @@ class GenesProfiler:
         last_index = skip - 1
         batches = select_batches(read_paths, batch_size, al.max_read_len,
                                  max_reads, paired, interleaved)
+        if getattr(self, "_batch_filter", None):
+            batches = self._batch_filter(batches)  # multi-host striding
         for db in prefetch_device_batches(
                 batches, ("codes", "lengths", "mean_qual"),
                 trim=trim, skip_batches=skip):
@@ -124,12 +126,23 @@ class GenesProfiler:
                 aln_cov=float(self.aln_cov), paired=bool(paired))
             if checkpoint_path and (db.index + 1) % checkpoint_every == 0:
                 ckpt.save(checkpoint_path, ds.genes_state_host(state),
-                          dict(fingerprint=fp, batches_done=db.index + 1))
+                          dict(fingerprint=fp, batches_done=db.index + 1,
+                               guard=self._guard()))
         host = ds.genes_state_host(state)
         if checkpoint_path:
             ckpt.save(checkpoint_path, host,
-                      dict(fingerprint=fp, batches_done=last_index + 1))
+                      dict(fingerprint=fp, batches_done=last_index + 1,
+                           guard=self._guard()))
         return host
+
+    def _guard(self) -> Dict:
+        """Finalize-relevant parameters persisted in checkpoint meta:
+        a later --call_genes stage verifies these instead of the stream
+        fingerprint (checkpoint.load_guarded)."""
+        return dict(kind="genes", mapid=self.mapid, readq=self.readq,
+                    mapq=self.mapq, aln_cov=self.aln_cov,
+                    species=list(self.species_ids),
+                    num_seqs=int(self.pack.num_seqs))
 
     def _fingerprint(self, read_paths, max_reads, trim, batch_size,
                      paired=False, interleaved=False) -> str:
@@ -142,15 +155,17 @@ class GenesProfiler:
             aln_cov=self.aln_cov, species=self.species_ids,
             paired=paired, interleaved=interleaved)
 
-    def finalize_from_checkpoint(self, checkpoint_path) -> Dict:
+    def finalize_from_checkpoint(self, checkpoint_path,
+                                 force: bool = False) -> Dict:
         """--call_genes without --align: consume the persisted aligned
         state (the reference's equivalent reads temp/pangenomes.bam,
-        scripts/run_midas.py:535-566)."""
+        scripts/run_midas.py:535-566), erroring when it was written
+        under different filter params / species / pack geometry."""
         import sys as _sys
 
         from midas_tpu.profile import checkpoint as ckpt
 
-        got = ckpt.load_any(checkpoint_path)
+        got = ckpt.load_guarded(checkpoint_path, self._guard(), force=force)
         if got is None:
             _sys.exit(f"\nError: no usable alignment state at {checkpoint_path}\n"
                       "Run with --align first\n")
@@ -287,7 +302,7 @@ def run_genes(args: Dict) -> GenesProfiler:
             profiler.write_results(outdir)
     elif args.get("cov"):
         with stage_timer("Computing coverage of pangenomes", log):
-            profiler.finalize_from_checkpoint(state_path)
+            profiler.finalize_from_checkpoint(state_path, force=bool(args.get("force")))
             profiler.write_results(outdir)
     if args.get("remove_temp"):
         import shutil

@@ -127,6 +127,8 @@ class SnpsProfiler:
         last_index = skip - 1
         batches = select_batches(read_paths, batch_size, L, max_reads,
                                  paired, interleaved)
+        if getattr(self, "_batch_filter", None):
+            batches = self._batch_filter(batches)  # multi-host striding
         for db in prefetch_device_batches(
                 batches, ("codes", "quals", "lengths", "mean_qual"),
                 trim=trim, skip_batches=skip):
@@ -143,20 +145,33 @@ class SnpsProfiler:
                 h = ds.snps_state_host(state)
                 overflow_check(int(h["gap_n"]), db.index)
                 ckpt.save(checkpoint_path, h,
-                          dict(fingerprint=fp, batches_done=db.index + 1))
+                          dict(fingerprint=fp, batches_done=db.index + 1,
+                               guard=self._guard()))
         host = ds.snps_state_host(state)
         overflow_check(int(host["gap_n"]), -1)
         if checkpoint_path:
             ckpt.save(checkpoint_path, host,
-                      dict(fingerprint=fp, batches_done=last_index + 1))
+                      dict(fingerprint=fp, batches_done=last_index + 1,
+                           guard=self._guard()))
         return host
 
-    def finalize_from_checkpoint(self, checkpoint_path) -> Dict:
+    def _guard(self) -> Dict:
+        """Finalize-relevant params persisted in checkpoint meta (see
+        checkpoint.load_guarded)."""
+        return dict(kind="snps", mapid=self.mapid, readq=self.readq,
+                    mapq=self.mapq, baseq=self.baseq, aln_cov=self.aln_cov,
+                    species=list(self.species_ids),
+                    total_len=int(self.pack.total_len))
+
+    def finalize_from_checkpoint(self, checkpoint_path,
+                                 force: bool = False) -> Dict:
         """--pileup without --align (the reference's equivalent reads
-        temp/genomes.bam, scripts/run_midas.py:567-604)."""
+        temp/genomes.bam, scripts/run_midas.py:567-604), erroring when
+        the state was written under different filter params / species /
+        pack geometry."""
         from midas_tpu.profile import checkpoint as ckpt
 
-        got = ckpt.load_any(checkpoint_path)
+        got = ckpt.load_guarded(checkpoint_path, self._guard(), force=force)
         if got is None:
             sys.exit(f"\nError: no usable alignment state at {checkpoint_path}\n"
                      "Run with --align first\n")
@@ -301,7 +316,7 @@ def run_snps(args: Dict) -> SnpsProfiler:
             profiler.write_results(outdir)
     elif args.get("call"):
         with stage_timer("Counting alleles", log):
-            profiler.finalize_from_checkpoint(state_path)
+            profiler.finalize_from_checkpoint(state_path, force=bool(args.get("force")))
             profiler.write_results(outdir)
     if args.get("remove_temp"):
         import shutil

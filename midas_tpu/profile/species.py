@@ -112,7 +112,15 @@ class SpeciesProfiler:
         which all see the same merged inputs)."""
         n_species = len(self.species_order)
 
-        # probabilistic assignment of ambiguous reads (species.py:104-119)
+        # probabilistic assignment of ambiguous reads (species.py:104-119),
+        # vectorized: the reference draws one np.random.choice per read
+        # with weights from the FIXED unique counts, so every draw is
+        # independent — one random_sample over the weighted rows
+        # reproduces the sequential per-row consumption exactly (MT19937
+        # random_sample(n) == n x random_sample(1)), and the
+        # searchsorted-on-normalized-cumsum below is choice()'s own
+        # sampling algorithm. Zero-weight rows consume the separate
+        # python Random stream, scalar, as the reference does.
         rng = np.random.RandomState(self.seed)
         pyrng = random.Random(self.seed)
         count = unique_count.copy()
@@ -120,7 +128,8 @@ class SpeciesProfiler:
         total_reads = self.stats["total_reads"]  # set by _run_*
         total_bp = self.stats["total_bp"]
         total_alns = self.stats["total_alns"]
-        for seq_ids, sp_ids, alns in ambiguous:
+        n_amb = len(ambiguous)
+        if n_amb:
             # canonicalize tie-set order by pack (subject) index: the
             # real hs-blastn emits equal-score hits in subject-index
             # order (measured: 21/21 tie reads on the golden fixture,
@@ -130,17 +139,42 @@ class SpeciesProfiler:
             # index makes the seeded draw byte-identical to the
             # reference no matter which classifier produced the row
             # (host, single-chip device, or the dp x tp distributed path).
-            o = np.argsort(seq_ids, kind="stable")
-            sp_ids, alns = sp_ids[o], alns[o]
-            weights = unique_count[sp_ids].astype(np.float64)
-            if weights.sum() == 0:
-                j = pyrng.randrange(len(sp_ids))
-            else:
-                probs = weights / weights.sum()
-                chosen_sp = rng.choice(sp_ids, 1, p=probs)[0]
-                j = int(np.flatnonzero(sp_ids == chosen_sp)[0])
-            count[sp_ids[j]] += 1
-            bp[sp_ids[j]] += alns[j]
+            widths = np.fromiter((len(s) for _q, s, _a in ambiguous),
+                                 count=n_amb, dtype=np.int64)
+            wmax = int(widths.max())
+            sp_m = np.zeros((n_amb, wmax), dtype=np.int64)
+            aln_m = np.zeros((n_amb, wmax), dtype=np.float64)
+            for r, (seq_ids, sp_ids, alns) in enumerate(ambiguous):
+                o = np.argsort(seq_ids, kind="stable")
+                sp_m[r, : len(sp_ids)] = sp_ids[o]
+                aln_m[r, : len(alns)] = alns[o]
+            in_row = np.arange(wmax)[None, :] < widths[:, None]
+            W = np.where(in_row, unique_count[sp_m].astype(np.float64), 0.0)
+            rowsum = W.sum(axis=1)
+            nz = rowsum > 0
+            # weighted rows: replicate RandomState.choice(p=probs) —
+            # probs = W/sum, cdf = cumsum, cdf /= cdf[-1],
+            # searchsorted(cdf, u, side='right')
+            j = np.zeros(n_amb, dtype=np.int64)
+            if nz.any():
+                probs = W[nz] / rowsum[nz][:, None]
+                cdf = probs.cumsum(axis=1)
+                cdf /= cdf[:, -1][:, None]
+                u = rng.random_sample(int(nz.sum()))
+                j_draw = (cdf <= u[:, None]).sum(axis=1)  # side='right'
+                # the reference then takes the FIRST tie-set index whose
+                # species equals the drawn one (species ids can repeat
+                # across markers in one tie set)
+                drawn_sp = np.take_along_axis(sp_m[nz], j_draw[:, None],
+                                              axis=1)
+                j[nz] = np.argmax(sp_m[nz] == drawn_sp, axis=1)
+            zi = np.flatnonzero(~nz)
+            for r in zi:
+                j[r] = pyrng.randrange(int(widths[r]))
+            sp_j = np.take_along_axis(sp_m, j[:, None], axis=1)[:, 0]
+            aln_j = np.take_along_axis(aln_m, j[:, None], axis=1)[:, 0]
+            np.add.at(count, sp_j, 1)
+            np.add.at(bp, sp_j, aln_j)
 
         # normalize (species.py:141-163). total_cov is a sequential
         # Python-float sum in species_info order — the reference sums a
@@ -217,7 +251,17 @@ class SpeciesProfiler:
         parse+upload in a background thread (io/prefetch.py) so H2D
         rides under the previous batch's compute. With checkpoint_path,
         a sliced state snapshot persists every checkpoint_every batches
-        and a rerun resumes from it byte-identically."""
+        and a rerun resumes from it byte-identically.
+
+        The ambiguous-read spill buffer is a fixed-size STAGING area,
+        not a hard cap: whenever the worst-case row count since the
+        last drain approaches capacity, the occupied rows are pulled to
+        host (sliced readback) and the device cursor resets — so a run
+        over any number of reads completes without tuning
+        MIDAS_TPU_AMB_CAP (previously a 1M-read conserved-marker sample
+        could overflow the default and die)."""
+        import dataclasses as _dc
+
         import jax.numpy as jnp
 
         from midas_tpu.io.prefetch import prefetch_device_batches
@@ -226,6 +270,7 @@ class SpeciesProfiler:
 
         n_species = len(self.species_order)
         cap = amb_cap or int(os.environ.get("MIDAS_TPU_AMB_CAP", "262144"))
+        cap = max(cap, 2 * batch_size)   # a drain must always fit a batch
         al = self.aligner
         state = ds.species_init(n_species, al.seed_params.num_cands, cap)
         seq_species = jnp.asarray(self.seq_species)
@@ -233,6 +278,28 @@ class SpeciesProfiler:
         total_reads = total_bp = 0
         skip = 0
         fp = None
+        drained: List[Dict[str, np.ndarray]] = []   # host amb rows, stream order
+
+        def drain(state):
+            """Pull occupied spill rows to host, reset the device cursor."""
+            spill, n = ds.sliced_spill_host(
+                dict(amb_sp=state.amb_sp, amb_bp=state.amb_bp,
+                     amb_seq=state.amb_seq), state.amb_n, cap)
+            if n > cap:
+                raise RuntimeError(
+                    f"ambiguous spill staging overflow ({n} > {cap}); "
+                    "cap must exceed the per-drain row bound")
+            if n:
+                drained.append(spill)
+            return _dc.replace(state, amb_n=jnp.zeros((), jnp.int32))
+
+        def full_rows() -> Dict[str, np.ndarray]:
+            keys = ("amb_sp", "amb_bp", "amb_seq")
+            if not drained:
+                return {k: np.zeros((0, al.seed_params.num_cands),
+                                    dtype=np.int32) for k in keys}
+            return {k: np.concatenate([d[k] for d in drained]) for k in keys}
+
         if checkpoint_path:
             fp = ckpt.fingerprint(
                 kind="species", schema=2,  # schema 2: + amb_seq buffer
@@ -243,16 +310,21 @@ class SpeciesProfiler:
             got = ckpt.load(checkpoint_path, fp)
             if got is not None:
                 arrays, meta = got
-                state = ds.species_state_restore(arrays, cap)
+                # restore counters to device; checkpointed amb rows stay
+                # host-side (they may exceed the staging capacity)
+                st0 = ds.species_init(n_species, al.seed_params.num_cands,
+                                      cap)
+                state = _dc.replace(
+                    st0,
+                    uniq_count=jnp.asarray(arrays["uniq_count"]),
+                    uniq_bp=jnp.asarray(arrays["uniq_bp"]),
+                    total_alns=jnp.asarray(np.int32(arrays["total_alns"])))
+                if arrays["amb_sp"].shape[0]:
+                    drained.append({k: arrays[k]
+                                    for k in ("amb_sp", "amb_bp", "amb_seq")})
                 skip = int(meta["batches_done"])
                 total_reads = int(meta["total_reads"])
                 total_bp = int(meta["total_bp"])
-
-        def overflow_check(n, batch_idx):
-            if n > cap:
-                raise RuntimeError(
-                    f"ambiguous-read buffer overflow ({n} > {cap}) at batch "
-                    f"{batch_idx}: set MIDAS_TPU_AMB_CAP higher")
 
         batches = load_read_batches(
             read_paths, batch_size=batch_size,
@@ -262,6 +334,7 @@ class SpeciesProfiler:
         if getattr(self, "_batch_filter", None):
             batches = self._batch_filter(batches)  # multi-host striding
         last_index = skip - 1
+        rows_bound = 0   # worst-case spill rows since the last drain
         for db in prefetch_device_batches(batches, ("codes", "lengths"),
                                           skip_batches=skip):
             last_index = db.index
@@ -274,15 +347,26 @@ class SpeciesProfiler:
                 scoring=al.scoring, seed_params=al.seed_params,
                 max_len=al.max_read_len, aln_cov=float(self.aln_cov),
                 n_species=n_species)
+            rows_bound += db.n_reads
+            if rows_bound > cap - batch_size:
+                state = drain(state)
+                rows_bound = 0
             if checkpoint_path and (db.index + 1) % checkpoint_every == 0:
+                state = drain(state)
+                rows_bound = 0
                 h = ds.species_state_host(state)
-                overflow_check(int(h["amb_n"]), db.index)
+                rows = full_rows()
+                h.update(rows)
+                h["amb_n"] = np.int64(rows["amb_sp"].shape[0])
                 ckpt.save(checkpoint_path, h, dict(
                     fingerprint=fp, batches_done=db.index + 1,
                     total_reads=total_reads, total_bp=total_bp))
+        state = drain(state)
         host = ds.species_state_host(state)
-        amb_n = int(host["amb_n"])
-        overflow_check(amb_n, -1)
+        rows = full_rows()
+        host.update(rows)
+        amb_n = int(rows["amb_sp"].shape[0])
+        host["amb_n"] = np.int64(amb_n)
         if checkpoint_path:
             # batches_done = consumed count, so rerunning a completed
             # run restores this state and the skip exhausts the stream —

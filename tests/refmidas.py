@@ -48,7 +48,10 @@ def _install_bio_shim() -> None:
     def _parse(path, fmt):
         assert fmt == "fasta"
         rid, chunks = None, []
-        with open(path) as f:
+        # the reference passes both path strings (run/species.py) and
+        # already-open file objects (utility.read_genome)
+        f = path if hasattr(path, "read") else open(path)
+        try:
             for line in f:
                 line = line.rstrip("\n")
                 if line.startswith(">"):
@@ -57,8 +60,11 @@ def _install_bio_shim() -> None:
                     rid, chunks = line[1:].split()[0], []
                 else:
                     chunks.append(line)
-        if rid is not None:
-            yield _Rec(rid, "".join(chunks))
+            if rid is not None:
+                yield _Rec(rid, "".join(chunks))
+        finally:
+            if f is not path:
+                f.close()
 
     bio = types.ModuleType("Bio")
     seqio = types.ModuleType("Bio.SeqIO")
@@ -137,3 +143,70 @@ def parse_best_hits(m8_path: str, cutoffs: dict, marker_info: dict,
         elif score == best[q][0]:
             best[q][1].add(t)
     return {q: (s, frozenset(ts)) for q, (s, ts) in best.items()}
+
+
+# ---------------------------------------------------------------------------
+# Reference MERGE pipelines as in-process golden oracles (pure Python in
+# the reference — no binaries needed): midas/merge/{species,genes,snps}.py
+# driven on OUR per-sample outputs, for byte-level merge parity tests.
+# ---------------------------------------------------------------------------
+
+def _ref_import(modname):
+    _install_bio_shim()
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    import importlib
+
+    return importlib.import_module(modname)
+
+
+def _serial_parallel(fn, argument_list, threads):
+    """Replace the reference's mp.Pool driver with in-process serial
+    execution (identical results, no fork inside the test process)."""
+    for arguments in argument_list:
+        fn(*arguments)
+
+
+def run_reference_merge_species(indirs, outdir, db, min_cov=1.0,
+                                max_samples=None):
+    ref = _ref_import("midas.merge.species")
+    os.makedirs(outdir, exist_ok=True)
+    ref.run_pipeline(dict(indirs=list(indirs), outdir=outdir, db=db,
+                          min_cov=min_cov, max_samples=max_samples))
+    return outdir
+
+
+def run_reference_merge_genes(indirs, outdir, db, sample_depth=1.0,
+                              min_samples=1, cluster_pid="95",
+                              min_copy=0.35, species_id=None,
+                              max_samples=None, max_species=None):
+    ref = _ref_import("midas.merge.genes")
+    os.makedirs(outdir, exist_ok=True)
+    ref.run_pipeline(dict(
+        indirs=list(indirs), outdir=outdir, db=db,
+        sample_depth=sample_depth, min_samples=min_samples,
+        cluster_pid=cluster_pid, min_copy=min_copy,
+        species_id=species_id, max_samples=max_samples,
+        max_species=max_species))
+    return outdir
+
+
+def run_reference_merge_snps(indirs, outdir, db, sample_depth=5.0,
+                             fract_cov=0.4, min_samples=1,
+                             allele_freq=0.01, site_depth=1,
+                             site_ratio=float("inf"), site_prev=0.0,
+                             snp_type=("any",), max_sites=float("inf"),
+                             species_id=None, max_samples=None,
+                             max_species=None):
+    ref = _ref_import("midas.merge.snps")
+    ref.parallel = _serial_parallel   # no fork pools inside pytest
+    os.makedirs(outdir, exist_ok=True)
+    ref.run_pipeline(dict(
+        indirs=list(indirs), outdir=outdir, db=db, threads=1,
+        sample_depth=sample_depth, fract_cov=fract_cov,
+        min_samples=min_samples, allele_freq=allele_freq,
+        site_depth=site_depth, site_ratio=site_ratio,
+        site_prev=site_prev, snp_type=list(snp_type),
+        max_sites=max_sites, species_id=species_id,
+        max_samples=max_samples, max_species=max_species))
+    return outdir

@@ -278,3 +278,85 @@ def test_mapq_unique_branch_bowtie2_table():
         assert int(dev[0]) == want, (best, int(dev[0]), want)
     # below score_min -> 0 regardless
     assert mapq_from_scores(-101.0, float("-inf"), smin, sperf, False) == 0
+
+
+def test_mapq_tie_branch_mapqv2_tree():
+    """The with-competitor branch follows bowtie2's MapqV2 tie tree
+    (mapq.h): bestdiff deciles of the score range with bestOver
+    sub-bands at ==diff / >=0.84 / >=0.68 (0.67 in the tail bands).
+    Host and device twins agree at every transition, both trees."""
+    import jax.numpy as jnp
+
+    from midas_tpu.align.params import mapq_from_scores
+
+    smin, sperf = -100.0, 0.0   # diff = 100, end-to-end shape
+    e2e_cases = [
+        # (best, second, want): bestdiff band x bestOver sub-band
+        (0.0, -95.0, 39),     # bestdiff .95, perfect
+        (-5.0, -100.0, 33),   # bestdiff .95, not perfect
+        (0.0, -85.0, 38),     # .85, perfect
+        (-10.0, -95.0, 27),   # .85
+        (0.0, -75.0, 37), (-10.0, -85.0, 26),
+        (0.0, -65.0, 36), (-10.0, -75.0, 22),
+        (0.0, -55.0, 35),     # .55, perfect
+        (-10.0, -65.0, 25),   # .55, bestOver .90 >= .84
+        (-20.0, -75.0, 16),   # .55, bestOver .80 in [.68, .84)
+        (-40.0, -95.0, 5),    # .55, bestOver .60 < .68
+        (0.0, -45.0, 34), (-10.0, -55.0, 21), (-20.0, -65.0, 14),
+        (-40.0, -85.0, 4),
+        (0.0, -35.0, 32), (-10.0, -45.0, 18), (-20.0, -55.0, 10),
+        (-40.0, -75.0, 3),
+        (0.0, -25.0, 31), (-10.0, -35.0, 17), (-20.0, -45.0, 9),
+        (-40.0, -65.0, 2),
+        (0.0, -15.0, 30), (-10.0, -25.0, 15), (-20.0, -35.0, 8),
+        (-40.0, -55.0, 1),
+        # bestdiff in (0, 0.1*diff)
+        (-10.0, -15.0, 6),    # bestOver .90 >= .67
+        (-40.0, -45.0, 2),    # bestOver .60 < .67
+        # exact tie
+        (-10.0, -10.0, 1), (-40.0, -40.0, 0),
+        # second-best below scMin does NOT count: unique branch
+        (-10.0, -101.0, 42),
+    ]
+    for best, second, want in e2e_cases:
+        got = mapq_from_scores(best, second, smin, sperf, True)
+        assert got == want, (best, second, got, want)
+        dev = ds.mapq_device(
+            jnp.asarray([best], jnp.float32),
+            jnp.asarray([second], jnp.float32),
+            jnp.asarray([smin]), jnp.asarray([sperf]),
+            jnp.asarray([True]))
+        assert int(dev[0]) == want, (best, second, int(dev[0]), want)
+
+    # local tree: unique table 44/42/41/36/28/24 floor 22; tie bands
+    # single-valued at >=0.6 (40/39/33/30), sub-banded below
+    smin_l, sperf_l = 20.0, 220.0   # diff = 200
+    loc_cases_uniq = [(220.0, 44), (180.1, 44), (170.0, 42), (145.0, 41),
+                      (125.0, 36), (105.0, 28), (85.0, 24), (25.0, 22)]
+    for best, want in loc_cases_uniq:
+        got = mapq_from_scores(best, float("-inf"), smin_l, sperf_l, False,
+                               local=True)
+        assert got == want, (best, got, want)
+    loc_cases_tie = [
+        (220.0, 30.0, 40),    # bestdiff .95
+        (220.0, 50.0, 39), (220.0, 70.0, 33), (220.0, 90.0, 30),
+        (220.0, 110.0, 27),   # .55, perfect
+        (200.0, 90.0, 25),    # .55, bestOver .90
+        (160.0, 50.0, 20),    # .55, bestOver .70 < .84
+        (220.0, 130.0, 26), (200.0, 110.0, 19), (160.0, 70.0, 15),
+        (220.0, 150.0, 23), (200.0, 130.0, 17), (160.0, 90.0, 11),
+        (220.0, 170.0, 21), (200.0, 150.0, 14), (160.0, 110.0, 8),
+        (220.0, 190.0, 19), (200.0, 170.0, 13), (160.0, 130.0, 6),
+        (210.0, 205.0, 5), (120.0, 115.0, 3),
+        (210.0, 210.0, 2), (120.0, 120.0, 1),
+    ]
+    for best, second, want in loc_cases_tie:
+        got = mapq_from_scores(best, second, smin_l, sperf_l, True,
+                               local=True)
+        assert got == want, (best, second, got, want)
+        dev = ds.mapq_device(
+            jnp.asarray([best], jnp.float32),
+            jnp.asarray([second], jnp.float32),
+            jnp.asarray([smin_l]), jnp.asarray([sperf_l]),
+            jnp.asarray([True]), local=True)
+        assert int(dev[0]) == want, (best, second, int(dev[0]), want)

@@ -47,7 +47,11 @@ def test_dist_genes_dp_bit_equal(sim_community, reads, species):
 
 
 @pytest.mark.parametrize("tp", [2])
-def test_dist_genes_tp_agrees(sim_community, reads, species, tp):
+def test_dist_genes_tp_bit_equal(sim_community, reads, species, tp):
+    """tp>1 draws candidates per shard, but the canonical tie-break
+    (score, then global seq_idx/tstart/strand —
+    device_steps.canonical_best_col) makes multimapper arbitration
+    pool-order independent: bit-equal to single-chip."""
     if 8 % tp or len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
     db = Database(sim_community.db_dir)
@@ -55,10 +59,9 @@ def test_dist_genes_tp_agrees(sim_community, reads, species, tp):
     want = single.run([reads], batch_size=128)
     prof = DistributedGenesProfiler(db, species, mesh=make_mesh(8, tp=tp))
     got = prof.run([reads], batch_size=128)
-    # totals: every aligned read is still counted somewhere
-    assert got["aligned_reads"].sum() >= want["aligned_reads"].sum()
-    same = np.isclose(want["depth"], got["depth"]).mean()
-    assert same >= 0.995, f"per-gene depth agreement {same:.4f}"
+    for k in ("aligned_reads", "mapped_reads", "depth", "copies",
+              "marker_cov"):
+        np.testing.assert_array_equal(want[k], got[k], err_msg=k)
 
 
 def test_dist_snps_dp_bit_equal(sim_community, reads, species):
@@ -75,7 +78,8 @@ def test_dist_snps_dp_bit_equal(sim_community, reads, species):
 
 @pytest.mark.parametrize("tp", [2, 4])
 def test_dist_snps_tp_sharded_counts(sim_community, reads, species, tp):
-    """tp-sharded pileup stripes reassemble to the single-chip tensor."""
+    """tp-sharded pileup stripes reassemble bit-equal to the
+    single-chip tensor (canonical tie-break, see genes twin)."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
     db = Database(sim_community.db_dir)
@@ -83,11 +87,11 @@ def test_dist_snps_tp_sharded_counts(sim_community, reads, species, tp):
     want = single.run([reads], batch_size=128)
     prof = DistributedSnpsProfiler(db, species, mesh=make_mesh(8, tp=tp))
     got = prof.run([reads], batch_size=128)
-    agree = (want["counts"] == got["counts"]).mean()
-    assert agree >= 0.995, f"pileup agreement {agree:.5f}"
-    # depth conservation: every kept gapless base lands exactly once
-    assert abs(int(want["counts"].sum()) - int(got["counts"].sum())) \
-        <= 0.005 * max(int(want["counts"].sum()), 1)
+    np.testing.assert_array_equal(want["counts"], got["counts"])
+    np.testing.assert_array_equal(want["aligned_reads"],
+                                  got["aligned_reads"])
+    np.testing.assert_array_equal(want["mapped_reads"], got["mapped_reads"])
+    assert want["n_gapped"] == got["n_gapped"]
 
 
 def test_dist_snps_write_results(sim_community, reads, species, tmp_path):
