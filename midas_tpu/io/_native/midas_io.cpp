@@ -107,6 +107,7 @@ struct Reader {
   int read_length;   // 0 = no trim/drop
   long max_reads;    // <0 = unlimited
   long emitted = 0;
+  long truncated = 0;  // reads longer than the batch width L
   std::string last;  // pending header line ('>'/'@' line), empty if none
   std::string line, seq, qual;
   // record parsed but not yet emitted (names buffer was full)
@@ -177,6 +178,11 @@ struct InitTables {
 
 extern "C" {
 
+long mio_truncated(void* h) {
+  Reader* r = (Reader*)h;
+  return r ? r->truncated : 0;
+}
+
 void* mio_open(const char* path, int read_length, long max_reads) {
   Reader* r = new Reader(path, read_length, max_reads);
   if (!r->lr.ok()) {
@@ -235,7 +241,7 @@ long mio_next_batch(void* h, long B, long L, int8_t* codes, int8_t* quals,
       break;
     }
     long n = (long)s.size();
-    if (n > L) n = L;
+    if (n > L) { n = L; r->truncated++; }
     int8_t* crow = codes + nb * L;
     for (long i = 0; i < n; i++)
       crow[i] = g_base_code[(unsigned char)s[i]];

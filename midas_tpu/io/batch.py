@@ -11,6 +11,7 @@ per-read lengths, per-base phred qualities, and per-read mean quality
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -68,6 +69,50 @@ def batch_reads(
     return ReadBatch(names, codes, lengths, quals, mean_qual, len(names))
 
 
+# padded kernel read lengths: the banded-DP kernel compiles per static
+# L, so runs pick the smallest bucket covering their reads (plus slack
+# between buckets for mixed-length libraries)
+READ_LEN_BUCKETS = (128, 160, 256, 384, 512)
+
+
+def detect_max_read_len(paths, read_length: Optional[int] = None,
+                        sample_n: int = 4096, default: int = 128) -> int:
+    """Pick the padded read length for a run: the smallest bucket
+    covering the longest of the first sample_n reads. The reference
+    aligns FULL-length reads (midas/run/stream_seqs.py:43-65 trims
+    only on --read_length); a fixed 128 here silently truncated
+    150/250 bp Illumina data. With an explicit read_length the bucket
+    covers exactly that (the stream trims to it anyway). Longer reads
+    seen later in the stream are still counted and warned about
+    (load_read_batches truncation warning)."""
+    if read_length:
+        longest = int(read_length)
+    else:
+        from midas_tpu.io.seqio import stream_reads
+
+        path_list = ([str(paths)] if isinstance(paths, (str, os.PathLike))
+                     else [str(p) for p in paths])
+        longest = 0
+        for i, (_name, seq, _q) in enumerate(stream_reads(path_list)):
+            longest = max(longest, len(seq))
+            if i + 1 >= sample_n:
+                break
+        if longest == 0:
+            longest = default
+    for b in READ_LEN_BUCKETS:
+        if longest <= b:
+            return b
+    return -(-longest // 64) * 64   # beyond the last bucket: ceil to 64
+
+
+def _warn_truncated(n: int, max_len: int) -> None:
+    import sys
+
+    print(f"Warning: {n} reads longer than the padded read length "
+          f"{max_len} were truncated; pass a longer --read_length or "
+          "report this if lengths were auto-detected", file=sys.stderr)
+
+
 def load_read_batches(
     paths,
     batch_size: int = 1024,
@@ -95,20 +140,27 @@ def load_read_batches(
 
         lib = load_native()
         if lib is not None:
-            for names, codes, lengths, quals, mean_qual, n in NativeBatcher(
-                lib, path_list, batch_size, max_len, read_length, max_reads,
-            ):
+            nb = NativeBatcher(
+                lib, path_list, batch_size, max_len, read_length, max_reads)
+            for names, codes, lengths, quals, mean_qual, n in nb:
                 yield ReadBatch(names, codes, lengths, quals, mean_qual, n)
+            if nb.truncated:
+                _warn_truncated(nb.truncated, max_len)
             return
     buf: List[Tuple[str, str, Optional[str]]] = []
+    truncated = 0
     for rec in stream_reads(path_list, read_length=read_length,
                             max_reads=max_reads):
+        if len(rec[1]) > max_len:
+            truncated += 1
         buf.append(rec)
         if len(buf) == batch_size:
             yield batch_reads(buf, batch_size, max_len)
             buf = []
     if buf:
         yield batch_reads(buf, batch_size, max_len)
+    if truncated:
+        _warn_truncated(truncated, max_len)
 
 
 def _check_interleaved_pairs(b: ReadBatch) -> None:

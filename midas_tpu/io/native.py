@@ -79,6 +79,8 @@ def load_native() -> Optional[ctypes.CDLL]:
         ]
         lib.mio_close.restype = None
         lib.mio_close.argtypes = [ctypes.c_void_p]
+        lib.mio_truncated.restype = ctypes.c_long
+        lib.mio_truncated.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return _LIB
 
@@ -102,6 +104,7 @@ class NativeBatcher:
         self._remaining = -1 if max_reads is None else int(max_reads)
         self._h = None
         self._names_cap = batch_size * 256
+        self.truncated = 0   # reads longer than max_len (counted in C)
 
     def _open_next(self) -> bool:
         while self._paths:
@@ -116,6 +119,7 @@ class NativeBatcher:
 
     def close(self):
         if self._h:
+            self.truncated += int(self._lib.mio_truncated(self._h))
             self._lib.mio_close(self._h)
             self._h = None
 
@@ -156,6 +160,7 @@ class NativeBatcher:
                         done = True
                         break
                     if status.value == 1:  # this file is exhausted
+                        self.truncated += int(self._lib.mio_truncated(self._h))
                         self._lib.mio_close(self._h)
                         self._h = None
                         if not self._open_next():

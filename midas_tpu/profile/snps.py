@@ -290,13 +290,19 @@ def run_snps(args: Dict) -> SnpsProfiler:
                  "(e.g. --species_cov, --species_topn, or --species_id)")
     if args.get("build_db") and not (args.get("align") or args.get("call")):
         return None
+    from midas_tpu.io.batch import detect_max_read_len
+
     state_path = os.path.join(outdir, "snps/temp/state.npz")
+    scan_paths = [p for p in (args.get("m1"), args.get("m2")) if p]
     with stage_timer("Building genome database", log):
         profiler = SnpsProfiler(
             db, species_ids,
             mapid=args.get("mapid", 94.0), readq=args.get("readq", 20.0),
             mapq=args.get("mapq", 20), baseq=args.get("baseq", 30),
             aln_cov=args.get("aln_cov", 0.75),
+            max_read_len=detect_max_read_len(scan_paths,
+                                             args.get("read_length"))
+            if scan_paths else 128,
         )
     if args.get("align") or args.get("build_db"):
         paths = [args["m1"]]

@@ -490,18 +490,22 @@ def run_species(args: Dict) -> Dict:
     which requires pulling every alignment back to the host."""
     from midas_tpu.utils import stage_timer
 
+    from midas_tpu.io.batch import detect_max_read_len
+
     outdir = args["outdir"]
     log = args.get("log")
     os.makedirs(os.path.join(outdir, "species/temp"), exist_ok=True)
+    paths = [args["m1"]]
+    if args.get("m2"):
+        paths.append(args["m2"])
     with stage_timer("Loading marker-gene database", log):
         db = Database(args["db"])
         profiler = SpeciesProfiler(
             db, mapid=args.get("mapid"), aln_cov=args.get("aln_cov", 0.75),
             seed=args.get("seed", 42),
+            max_read_len=detect_max_read_len(paths,
+                                             args.get("read_length")),
         )
-    paths = [args["m1"]]
-    if args.get("m2"):
-        paths.append(args["m2"])
     m8_path = (os.path.join(outdir, "species/temp/alignments.m8")
                if args.get("m8") and not args.get("remove_temp") else None)
     with stage_timer("Aligning reads to marker-genes database", log):

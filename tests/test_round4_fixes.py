@@ -177,3 +177,59 @@ def test_vectorized_assignment_matches_scalar_reference(sim_community):
         assert got[sid]["count"] == int(count[i]), (i, sid)
         cov = bp[i] / max(prof.total_gene_length[i], 1)
         assert got[sid]["cov"] == pytest.approx(float(cov), abs=0, rel=0)
+
+
+def test_detect_max_read_len_buckets(tmp_path):
+    from midas_tpu.io.batch import detect_max_read_len
+
+    fq = str(tmp_path / "l.fq")
+    _write_fq(fq, [("a", "A" * 100, "I" * 100), ("b", "A" * 151, "I" * 151)])
+    assert detect_max_read_len([fq]) == 160
+    assert detect_max_read_len([fq], read_length=100) == 128
+    _write_fq(fq, [("a", "A" * 251, "I" * 251)])
+    assert detect_max_read_len([fq]) == 256
+    _write_fq(fq, [("a", "A" * 600, "I" * 600)])
+    assert detect_max_read_len([fq]) == 640   # past buckets: ceil to 64
+
+
+def test_long_reads_not_truncated(sim_community, tmp_path, capfd):
+    """150/250 bp reads (the common Illumina case) flow through species
+    and snps profiling full-length: auto-sized kernel L, total_bp
+    preserved, device and host classifiers agree."""
+    from midas_tpu.db import Database
+    from midas_tpu.io.batch import detect_max_read_len
+    from midas_tpu.profile.snps import SnpsProfiler
+    from midas_tpu.profile.species import SpeciesProfiler
+    from midas_tpu.testkit import simulate_reads
+
+    db = Database(sim_community.db_dir)
+    for rl in (150, 250):
+        fq = str(tmp_path / f"r{rl}.fq.gz")
+        n = 120
+        simulate_reads(sim_community, fq, n_reads=n, read_len=rl,
+                       error_rate=0.005, seed=rl)
+        L = detect_max_read_len([fq])
+        assert L >= rl
+        prof = SpeciesProfiler(db, max_read_len=L)
+        dev = prof.run([fq], batch_size=64)
+        assert prof.stats["total_bp"] == n * rl   # nothing truncated
+        prof2 = SpeciesProfiler(db, max_read_len=L)
+        host = prof2.run([fq], batch_size=64,
+                         m8_path=str(tmp_path / f"m8_{rl}.m8"))
+        assert dev == host
+
+        sids = sim_community.species_ids()[:2]
+        sprof = SnpsProfiler(db, sids, max_read_len=L)
+        res = sprof.run([fq], batch_size=64)
+        assert int(res["counts"].sum()) > 0
+
+
+def test_truncation_warns(tmp_path, capfd):
+    from midas_tpu.io.batch import load_read_batches
+
+    fq = str(tmp_path / "t.fq")
+    _write_fq(fq, [("a", "A" * 200, "I" * 200), ("b", "C" * 100, "I" * 100)])
+    batches = list(load_read_batches([fq], batch_size=8, max_len=128))
+    assert batches[0].lengths[0] == 128
+    err = capfd.readouterr().err
+    assert "truncated" in err and "1 reads" in err
