@@ -56,16 +56,18 @@ def compare_genes(
             else:
                 # mirrors the reference exactly, including its quirk of
                 # summing sample2 for both counts (compare_genes.py:132-133)
-                count1 = float(b.sum())
-                count2 = float(b.sum())
-                count_both = float(np.minimum(a, b).sum())
-                count_either = float(np.maximum(a, b).sum())
+                # and its builtin-sum SEQUENTIAL float accumulation
+                # (np.sum's pairwise reduction differs in the last ulp)
+                count1 = float(sum(b.tolist()))
+                count2 = float(sum(b.tolist()))
+                count_both = float(sum(np.minimum(a, b).tolist()))
+                count_either = float(sum(np.maximum(a, b).tolist()))
             if distance == "jaccard":
                 d = 1 - (float(count_both) / count_either) if count_either > 0 else 0
             elif distance == "euclidean":
-                d = float(np.sqrt(((a - b) ** 2).sum()))
+                d = float(np.sqrt(sum(((a - b) ** 2).tolist())))
             else:
-                d = float(np.abs(a - b).sum())
+                d = float(sum(np.abs(a - b).tolist()))
             f.write("\t".join(str(x) for x in [
                 sample_ids[i], sample_ids[j], count1, count2,
                 count_both, count_either, d]) + "\n")

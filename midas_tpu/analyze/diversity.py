@@ -20,7 +20,9 @@ class Diversity:
         self.sites = 0
         self.samples = 0
         self.snps = 0
-        self.pi = 0.0
+        # int 0, not 0.0: a never-accumulated gene prints '0' exactly
+        # like the reference (snp_diversity.py Diversity.__init__)
+        self.pi = 0
         self.depth = 0
 
 
@@ -77,14 +79,14 @@ def snp_diversity(
             pi = {s: Diversity() for s in samples}
         else:
             genes = _list_genes(indir)
-            pi = {s: {g: Diversity() for g in genes} for s in samples}
+            pi = {s: {g: Diversity() for g in sorted(genes)} for s in samples}
     else:
         if genomic_type == "genome-wide":
             pi = Diversity()
             pi.samples = len(samples)
         else:
             genes = _list_genes(indir)
-            pi = {g: Diversity() for g in genes}
+            pi = {g: Diversity() for g in sorted(genes)}
             for g in pi:
                 pi[g].samples = len(samples)
 

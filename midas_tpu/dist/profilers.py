@@ -491,8 +491,7 @@ class DistributedSnpsProfiler(SnpsProfiler):
 
         def snapshot() -> Dict:
             h = ds.snps_state_host(state)
-            h["counts"] = self._reassemble_counts(
-                np.asarray(jax.device_get(counts)))
+            h["counts"] = self._reassemble_counts(ds.counts_host(counts))
             return h
 
         last_index = skip - 1

@@ -99,17 +99,37 @@ class _SpooledChunks:
     [n_rows, S_batch, 4] int32 records; the call phase then reads
     len(batches) spool files instead of len(samples) gz handles.
 
-    Spool record layout: int64 n, then n*S_b*4 int32 counts
-    (sample-major). Site meta spools once, from batch 0's first file."""
+    Spool record layout: int64 n, int64 compressed_bytes, then a
+    zlib(level 1) blob of n*S_b*4 int32 counts (sample-major). The
+    counts are mostly zeros/small ints, so fast-level zlib typically
+    shrinks the spool ~10x (a 5 Mb genome x 1,000 samples would be
+    ~80 GB raw — the footprint is estimated up front and a warning
+    printed when it is large even compressed). Site meta spools once,
+    from batch 0's first file."""
 
     SPOOL_ROWS = 65536
+    WARN_BYTES = 20 * 2**30
 
     def __init__(self, sp: SpeciesGroup, batches: List[List], tmpdir: str):
+        import sys
+        import zlib
+
         os.makedirs(tmpdir, exist_ok=True)
         self.tmpdir = tmpdir
         self.batch_sizes = [len(b) for b in batches]
+        n_samples = sum(self.batch_sizes)
+        try:
+            glen = int(float(sp.samples[0].info[sp.id]["genome_length"]))
+        except Exception:
+            glen = 0
+        raw_est = glen * n_samples * 16
+        if raw_est:
+            print(f"  spooling allele counts for {n_samples} samples x "
+                  f"{glen} sites (~{raw_est / 2**30:.1f} GiB raw, "
+                  "zlib-compressed on disk)", file=sys.stderr)
         self.bin_paths = []
         self.meta_path = os.path.join(tmpdir, "site_meta.txt")
+        spooled = 0
         for bi, batch in enumerate(batches):
             files = _open_sample_files(sp, batch)
             path = os.path.join(tmpdir, f"counts.{bi}.bin")
@@ -123,8 +143,20 @@ class _SpooledChunks:
                             break
                         site_meta, counts = chunk  # counts [S_b, n, 4]
                         n = counts.shape[1]
-                        np.asarray([n], dtype=np.int64).tofile(out)
-                        counts.transpose(1, 0, 2).astype(np.int32).tofile(out)
+                        blob = zlib.compress(
+                            counts.transpose(1, 0, 2).astype(np.int32)
+                            .tobytes(), 1)
+                        np.asarray([n, len(blob)], dtype=np.int64).tofile(out)
+                        out.write(blob)
+                        spooled += len(blob) + 16
+                        if spooled > self.WARN_BYTES:
+                            print(f"Warning: SNP merge spool for {sp.id} "
+                                  f"exceeds {spooled / 2**30:.0f} GiB on "
+                                  "disk; consider --max_species or more "
+                                  "open-file headroom (ulimit -n) to "
+                                  "stream samples directly",
+                                  file=sys.stderr)
+                            spooled = -2**62  # warn once
                         if meta_f is not None:
                             for ref_id, ref_pos, ref_allele in site_meta:
                                 meta_f.write(f"{ref_id}\t{ref_pos}\t{ref_allele}\n")
@@ -141,15 +173,18 @@ class _SpooledChunks:
         self._pending = [np.zeros((0, sb, 4), np.int64) for sb in self.batch_sizes]
 
     def _pull_rows(self, bi: int, max_rows: int) -> np.ndarray:
+        import zlib
+
         parts = [self._pending[bi]]
         have = parts[0].shape[0]
         sb = self.batch_sizes[bi]
         while have < max_rows:
-            hdr = np.fromfile(self._bins[bi], dtype=np.int64, count=1)
+            hdr = np.fromfile(self._bins[bi], dtype=np.int64, count=2)
             if hdr.size == 0:
                 break
-            n = int(hdr[0])
-            rec = np.fromfile(self._bins[bi], dtype=np.int32, count=n * sb * 4)
+            n, nbytes = int(hdr[0]), int(hdr[1])
+            rec = np.frombuffer(
+                zlib.decompress(self._bins[bi].read(nbytes)), dtype=np.int32)
             parts.append(rec.reshape(n, sb, 4).astype(np.int64))
             have += n
         allrows = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]

@@ -156,6 +156,17 @@ def paired_best_hit_device(
     concordant combination fall back to independent per-mate best hits
     (bowtie2's default mixed mode).
 
+    Known divergence from bowtie2 (documented, unquantified on real
+    libraries): when a concordant pair exists, it always wins here,
+    even if one mate's best UNPAIRED alignment elsewhere scores far
+    higher — bowtie2 weighs concordant pairs against the mates'
+    unpaired alignments with an unpaired penalty. On libraries without
+    structural variation (the simulator, and typical isolate/gut data
+    at the reference's fragment sizes) the two policies pick the same
+    pair; discordant-pair-rich libraries (structural variants, mate
+    contamination) may see more reads forced into concordant placement
+    than bowtie2 would report.
+
     Returns (aligned [B], best_col [B], mapq [B]) — same contract as
     best_hit_device, so every downstream filter is unchanged."""
     B, C = out["score"].shape
@@ -547,19 +558,37 @@ def snps_init(total_len: int, n_species: int, gap_cap: int,
     )
 
 
+def counts_host(counts: jnp.ndarray) -> np.ndarray:
+    """Pull a pileup count tensor to host through the narrowest exact
+    dtype: one scalar max() readback picks uint8/int16/int32, cutting
+    the D2H bytes 4x/2x for typical coverages. On the tunneled chip
+    D2H runs at ~1-25 MB/s, so at Mb-scale genomes the end-of-stream
+    [4 x G] readback (32 MB per 2 Mb of genome) otherwise dominates
+    the whole SNP pipeline (measured: 2.4 s of a 3.0 s run)."""
+    mx = int(jax.device_get(jnp.max(counts)))
+    if mx < 2**8:
+        h = jax.device_get(counts.astype(jnp.uint8))
+    elif mx < 2**15:
+        h = jax.device_get(counts.astype(jnp.int16))
+    else:
+        h = jax.device_get(counts)
+    return np.asarray(h).astype(np.int32)
+
+
 def snps_state_host(state: SnpsState) -> Dict[str, np.ndarray]:
     """Host snapshot; gap spill buffers sliced to occupied rows (the
     full [CAP+1, L] buffers measured 157 s to read over the tunnel vs
     1 s sliced — this readback was the entire SNP-pipeline slowdown in
-    rounds 1-2)."""
+    rounds 1-2) and the counts tensor pulled through the narrowest
+    exact dtype (counts_host)."""
     cap = state.gap_codes.shape[0] - 1
     spill, gap_n = sliced_spill_host(
         dict(gap_codes=state.gap_codes, gap_quals=state.gap_quals,
              gap_meta=state.gap_meta), state.gap_n, cap)
-    small = jax.device_get(dict(counts=state.counts,
-                                aligned_reads=state.aligned_reads,
+    small = jax.device_get(dict(aligned_reads=state.aligned_reads,
                                 mapped_reads=state.mapped_reads))
     out = {k: np.asarray(v) for k, v in small.items()}
+    out["counts"] = counts_host(state.counts)
     out.update(spill)
     out["gap_n"] = np.int64(gap_n)
     return out
@@ -664,14 +693,48 @@ def snps_update(
     flat_idx = jnp.where(ok, jnp.clip(base, 0, 3) * (G + 1) + tpos, G)
     counts = state.counts.at[flat_idx.reshape(-1)].add(1)
 
-    # spill kept gapped reads (strand-adjusted) for exact host traceback
+    # spill kept gapped reads (strand-adjusted) for exact host traceback.
+    # Gapped kept reads are rare (<=1-2% even on indel-bearing data), but
+    # a naive append scatters ALL B rows (mostly into the dump slot) into
+    # the [CAP+1, L] buffers every batch. Instead: compact the gapped
+    # rows to the front with a stable argsort (stream order preserved)
+    # and append only a fixed small block; a batch with zero gapped
+    # reads skips the appends entirely, and the rare batch with more
+    # than the block falls back to the full-row append via lax.cond.
     is_gap = keep & ~gapless
     te = full["tend"]
     meta = jnp.stack([ci, ts, te, qlens], axis=1)
-    gap_codes, _ = _append_rows(state.gap_codes, state.gap_n,
-                                qsel.astype(jnp.int8), is_gap)
-    gap_quals, _ = _append_rows(state.gap_quals, state.gap_n,
-                                qqsel.astype(jnp.int8), is_gap)
-    gap_meta, gap_n = _append_rows(state.gap_meta, state.gap_n, meta, is_gap)
+    K = min(512, B)
+    n_gap_b = jnp.sum(is_gap.astype(jnp.int32))
+    order = jnp.argsort(~is_gap, stable=True).astype(jnp.int32)
+    topk = order[:K]
+    sel_gap = jnp.take(is_gap, topk)
+    rows_codes = jnp.take(qsel.astype(jnp.int8), topk, axis=0)
+    rows_quals = jnp.take(qqsel.astype(jnp.int8), topk, axis=0)
+    rows_meta = jnp.take(meta, topk, axis=0)
+
+    def no_append():
+        return state.gap_codes, state.gap_quals, state.gap_meta, state.gap_n
+
+    def compact_append():
+        gc, _ = _append_rows(state.gap_codes, state.gap_n, rows_codes,
+                             sel_gap)
+        gq, _ = _append_rows(state.gap_quals, state.gap_n, rows_quals,
+                             sel_gap)
+        gm, gn = _append_rows(state.gap_meta, state.gap_n, rows_meta,
+                              sel_gap)
+        return gc, gq, gm, gn
+
+    def full_append():
+        gc, _ = _append_rows(state.gap_codes, state.gap_n,
+                             qsel.astype(jnp.int8), is_gap)
+        gq, _ = _append_rows(state.gap_quals, state.gap_n,
+                             qqsel.astype(jnp.int8), is_gap)
+        gm, gn = _append_rows(state.gap_meta, state.gap_n, meta, is_gap)
+        return gc, gq, gm, gn
+
+    gap_codes, gap_quals, gap_meta, gap_n = jax.lax.cond(
+        n_gap_b == 0, no_append,
+        lambda: jax.lax.cond(n_gap_b <= K, compact_append, full_append))
     return SnpsState(counts, aligned_reads, mapped_reads,
                      gap_codes, gap_quals, gap_meta, gap_n)

@@ -210,3 +210,91 @@ def run_reference_merge_snps(indirs, outdir, db, sample_depth=5.0,
         max_sites=max_sites, species_id=species_id,
         max_samples=max_samples, max_species=max_species))
     return outdir
+
+
+_SCRIPT_WRAP = """\
+import sys, types
+bio = types.ModuleType("Bio"); seqio = types.ModuleType("Bio.SeqIO")
+
+class _Rec:
+    def __init__(self, rid, seq):
+        self.id = rid; self.seq = seq; self.description = rid
+
+def _parse(path, fmt):
+    f = path if hasattr(path, "read") else open(path)
+    rid, chunks = None, []
+    try:
+        for line in f:
+            line = line.rstrip("\\n")
+            if line.startswith(">"):
+                if rid is not None:
+                    yield _Rec(rid, "".join(chunks))
+                rid, chunks = line[1:].split()[0], []
+            else:
+                chunks.append(line)
+        if rid is not None:
+            yield _Rec(rid, "".join(chunks))
+    finally:
+        if f is not path:
+            f.close()
+
+seqio.parse = _parse
+bio.SeqIO = seqio
+sys.modules["Bio"] = bio; sys.modules["Bio.SeqIO"] = seqio
+try:  # the reference predates pandas 2.x (DataFrame.applymap removal)
+    import pandas as _pd
+    if not hasattr(_pd.DataFrame, "applymap"):
+        _pd.DataFrame.applymap = _pd.DataFrame.map
+except ImportError:
+    pass
+sys.path.insert(0, {ref_root!r})
+sys.argv = [{script!r}] + {args!r}
+import runpy
+g = runpy.run_path({script!r}, run_name="__main__")
+# the reference scripts never close their outfiles; flush them before
+# the runpy globals are dropped (interpreter teardown does not)
+import io
+for v in list(g.values()):
+    if isinstance(v, io.IOBase):
+        try:
+            if not v.closed:
+                v.flush()
+        except Exception:
+            pass
+"""
+
+
+# The reference scripts are Python-2 era; a couple of lines crash under
+# py3 before any analysis runs (None-vs-int comparisons in arg checks).
+# The oracle wrapper applies these TARGETED textual py3 fixes to a temp
+# copy — semantics identical for our invocations (rand_reads unset).
+_PY3_FIXES = {
+    "snp_diversity.py": [(
+        "\tif args['rand_reads'] > args['site_depth'] and not args['replace_reads']:",
+        "\tif args['rand_reads'] is not None and args['rand_reads'] > args['site_depth'] and not args['replace_reads']:",
+    )],
+}
+
+
+def run_reference_script(script_name: str, args, tmpdir: str) -> None:
+    """Run a reference analysis script (scripts/*.py — pure Python) in a
+    subprocess with the Bio.SeqIO shim injected, as a golden oracle for
+    our flag-compatible equivalents."""
+    script = os.path.join(REF_ROOT, "scripts", script_name)
+    fixes = _PY3_FIXES.get(script_name)
+    if fixes:
+        src = open(script).read()
+        for old, new in fixes:
+            assert old in src, f"py3 fix target missing in {script_name}"
+            src = src.replace(old, new)
+        script = os.path.join(tmpdir, f"py3_{script_name}")
+        with open(script, "w") as f:
+            f.write(src)
+    wrap = os.path.join(tmpdir, f"wrap_{script_name}")
+    with open(wrap, "w") as f:
+        f.write(_SCRIPT_WRAP.format(ref_root=REF_ROOT, script=script,
+                                    args=[str(a) for a in args]))
+    r = subprocess.run([sys.executable, wrap], capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, (
+        f"reference {script_name} failed:\n{r.stdout}\n{r.stderr[-3000:]}")
