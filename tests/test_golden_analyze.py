@@ -130,3 +130,31 @@ def test_compare_genes_matches_reference(three_samples, sim_community,
         _diff_tolerant(ours, ref)   # pandas xstrtod 1-ulp parse artifact
     else:
         _diff(ours, ref)
+
+
+def test_strain_tracking_matches_reference(sp_dir, tmp_path):
+    """id_markers + track_markers vs the reference's
+    midas/analyze/track_strains.py driven through its script oracle
+    (byte-diffed; both stages are deterministic)."""
+    ours_m = str(tmp_path / "ours_markers.txt")
+    ref_m = str(tmp_path / "ref_markers.txt")
+    common = ["--min_freq", 0.1, "--min_reads", 1, "--allele_prev", 2]
+    _run_ours("strain_tracking.py",
+              ["id_markers", sp_dir, "--out", ours_m] + common)
+    refmidas.run_reference_script(
+        "strain_tracking.py",
+        ["id_markers", "--indir", sp_dir, "--out", ref_m] + common,
+        str(tmp_path))
+    _diff(ours_m, ref_m)
+
+    ours_t = str(tmp_path / "ours_track.txt")
+    ref_t = str(tmp_path / "ref_track.txt")
+    _run_ours("strain_tracking.py",
+              ["track_markers", sp_dir, "--out", ours_t,
+               "--markers", ours_m, "--min_freq", 0.1, "--min_reads", 1])
+    refmidas.run_reference_script(
+        "strain_tracking.py",
+        ["track_markers", "--indir", sp_dir, "--out", ref_t,
+         "--markers", ref_m, "--min_freq", 0.1, "--min_reads", 1],
+        str(tmp_path))
+    _diff(ours_t, ref_t)
