@@ -193,6 +193,16 @@ def simulate_db(
             for g in sp.genes:
                 row = [g["gene_id"], sp.genome_id, str(len(g["seq"]))] + [g["gene_id"]] * 6
                 f.write("\t".join(row) + "\n")
+        # centroid_functions.txt.gz: first two genes carry EC annotations
+        # linked to KEGG compound C00022 (pyruvate) in the packaged
+        # cpd_to_enzyme table, so query_by_compound has hits to report
+        with gzip.open(os.path.join(pdir, "centroid_functions.txt.gz"),
+                       "wt") as f:
+            f.write("gene_id\tfunction_id\tontology\n")
+            for g, ec in zip(sp.genes[:2], ("4.1.3.22", "4.1.3.25")):
+                f.write(f"{g['gene_id']}\t{ec}\tec\n")
+            if len(sp.genes) > 2:
+                f.write(f"{sp.genes[2]['gene_id']}\tK00001\tkegg\n")
         rdir = os.path.join(out_dir, "rep_genomes", sp.species_id)
         os.makedirs(rdir, exist_ok=True)
         with open(os.path.join(rdir, "genome.fna"), "w") as fa:

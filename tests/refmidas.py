@@ -273,6 +273,11 @@ _PY3_FIXES = {
         "\tif args['rand_reads'] > args['site_depth'] and not args['replace_reads']:",
         "\tif args['rand_reads'] is not None and args['rand_reads'] > args['site_depth'] and not args['replace_reads']:",
     )],
+    # py2 gzip.open returned text; py3 needs explicit "rt" for DictReader
+    "query_by_compound.py": [(
+        "csv.DictReader(gzip.open(path), delimiter='\\t')",
+        "csv.DictReader(gzip.open(path, 'rt'), delimiter='\\t')",
+    )],
 }
 
 

@@ -158,3 +158,43 @@ def test_strain_tracking_matches_reference(sp_dir, tmp_path):
          "--markers", ref_m, "--min_freq", 0.1, "--min_reads", 1],
         str(tmp_path))
     _diff(ours_t, ref_t)
+
+
+def test_query_by_compound_matches_reference(three_samples, sim_community,
+                                             tmp_path):
+    """query_by_compound vs the reference script (whose 27.6k-row KEGG
+    cpd->enzyme table we package verbatim as data): same compound, same
+    samples, byte-identical per-sample gene abundance report."""
+    import gzip as _gzip
+
+    db = sim_community.db_dir
+    # deterministic EC annotations for every species (an earlier test
+    # may have rewritten species 0's file — restore a known state)
+    for sp in sim_community.species:
+        fdir = os.path.join(db, "pan_genomes", sp.species_id)
+        with _gzip.open(os.path.join(fdir, "centroid_functions.txt.gz"),
+                        "wt") as f:
+            f.write("gene_id\tfunction_id\tontology\n")
+            for g, ec in zip(sp.genes[:2], ("4.1.3.22", "4.1.3.25")):
+                f.write(f"{g['gene_id']}\t{ec}\tec\n")
+    # drop any kegg/ override so both sides use their built-in table
+    kegg_override = os.path.join(db, "kegg", "cpd_to_enzyme.txt")
+    if os.path.exists(kegg_override):
+        os.unlink(kegg_override)
+    ours = str(tmp_path / "ours.txt")
+    ref = str(tmp_path / "ref.txt")
+    inlist = ",".join(three_samples)
+    _run_ours("query_by_compound.py",
+              ["-i", inlist, "-t", "list", "-d", db, "-c", "C00022",
+               "-o", ours])
+    refmidas.run_reference_script(
+        "query_by_compound.py",
+        ["-i", inlist, "-t", "list", "-d", db, "-c", "C00022", "-o", ref],
+        str(tmp_path))
+    a = open(ours).read().splitlines()
+    b = open(ref).read().splitlines()
+    assert len(a) > 1, "no rows reported"
+    assert a[0] == b[0]
+    # reference iterates samples dict in insertion order = -t list order
+    # for both; rows must match exactly
+    assert a == b
