@@ -104,6 +104,26 @@ _MAPQ_TIE_LOCAL = (
 _MAPQ_TIE_LOCAL_TAIL = ((5, 3), (2, 1))
 
 
+# Bowtie2 evaluates these thresholds as `intScore >= diff * (double)0.Xf`:
+# scMin/scMax/best/secbest are INTEGER scores (TAlScore; SimpleFunc's
+# value is cast, truncating toward zero), diff is an integer, and the
+# band fraction is a single-precision literal widened to double — so
+# e.g. the 0.6 boundary sits at diff * 0.60000002384185791, and an
+# integer bestOver exactly equal to 0.6*diff falls BELOW it. We keep
+# the fractions as their f32-cast doubles for exact parity.
+def _f32(x: float) -> float:
+    import numpy as np
+
+    return float(np.float32(x))
+
+
+def score_min_int(score_min: float) -> int:
+    """Bowtie2's scMin as it enters MAPQ: the score-min function value
+    cast to the integer score type (C++ double->int64 truncates toward
+    zero): -60.6 -> -60, 20 + 8*ln(L) -> trunc."""
+    return int(score_min)  # python int() truncates toward zero
+
+
 def mapq_from_scores(best: float, second: float, score_min: float,
                      score_perfect: float, has_second: bool,
                      local: bool = False) -> int:
@@ -111,37 +131,40 @@ def mapq_from_scores(best: float, second: float, score_min: float,
     (MapqV2::mapq; end-to-end 'monotone' tree when local=False, local
     tree when local=True).
 
-    Semantics as in the source: diff = max(scMax - scMin, 1); a
-    second-best alignment only counts when its score is itself valid
-    (>= scMin); bestdiff = |abs(best) - abs(secbest)|; the tie branch
-    bands on bestdiff deciles with bestOver sub-bands at ==diff,
-    >= 0.84*diff, >= 0.68*diff (and a 0.67*diff split in the two tail
+    Semantics as in the source: scMin truncates to an integer score;
+    diff = max(scMax - scMin, 1) (integers); a second-best alignment
+    only counts when its score is itself valid (>= scMin); bestdiff =
+    |abs(best) - abs(secbest)|; band thresholds compare integer scores
+    against diff times the f32-cast band fractions (see _f32 note).
+    The tie branch bands on bestdiff deciles with bestOver sub-bands at
+    ==diff, >= 0.84*diff, >= 0.68*diff (0.67*diff in the two tail
     bands). Transition tests: tests/test_checkpoint.py."""
-    if best < score_min:
+    smin = score_min_int(score_min)
+    if best < smin:
         return 0
-    diff = max(score_perfect - score_min, 1.0)
-    best_over = best - score_min
-    if not (has_second and second >= score_min):
+    diff = max(int(round(score_perfect)) - smin, 1)
+    best_over = int(round(best)) - smin
+    if not (has_second and second >= smin):
         table = _MAPQ_UNIQ_LOCAL if local else _MAPQ_UNIQ_E2E
         floor = _MAPQ_UNIQ_LOCAL_FLOOR if local else _MAPQ_UNIQ_E2E_FLOOR
         for frac, q in table:
-            if best_over >= frac * diff:
+            if best_over >= _f32(frac) * diff:
                 return q
         return floor
-    bestdiff = abs(abs(best) - abs(second))
+    bestdiff = abs(abs(int(round(best))) - abs(int(round(second))))
     rows = _MAPQ_TIE_LOCAL if local else _MAPQ_TIE_E2E
     tail = _MAPQ_TIE_LOCAL_TAIL if local else _MAPQ_TIE_E2E_TAIL
-    perfect = best_over >= diff - 1e-6
+    perfect = best_over == diff
     for frac, q_perfect, q84, q68, q_else in rows:
-        if bestdiff >= frac * diff:
+        if bestdiff >= _f32(frac) * diff:
             if perfect:
                 return q_perfect
-            if best_over >= 0.84 * diff:
+            if best_over >= _f32(0.84) * diff:
                 return q84
-            if best_over >= 0.68 * diff:
+            if best_over >= _f32(0.68) * diff:
                 return q68
             return q_else
-    hi = best_over >= 0.67 * diff
+    hi = best_over >= _f32(0.67) * diff
     if bestdiff > 0:
         return tail[0][0] if hi else tail[0][1]
     return tail[1][0] if hi else tail[1][1]

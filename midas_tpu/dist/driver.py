@@ -142,18 +142,29 @@ def _make_local_profiler(cls_single, cls_dist, db, species_ids, tp, kw):
     return cls_single(db, species_ids, **kw)
 
 
-def _stride_setup(prof, read_paths, pid, pcount):
-    my_paths = shard_read_paths(read_paths, pid, pcount)
-    if pcount > 1 and len(read_paths) < pcount:
-        my_paths = list(read_paths)
+def _stride_setup(prof, read_paths, pid, pcount, paired: bool = False,
+                  max_reads=None):
+    """Pick the per-host input sharding. File-granular sharding is only
+    safe when the run is unpaired, uncapped, and has at least one file
+    per host: paired inputs must never split (m1, m2) across ranks
+    (each rank would then mispair consecutive reads of ONE mate file),
+    and max_reads must cap the SHARED stream before striding (per-file
+    caps would process up to pcount*max_reads reads and diverge from a
+    single-process run). Everything else batch-strides the shared
+    stream."""
+    if (pcount > 1 and not paired and max_reads is None
+            and len(read_paths) >= pcount):
+        return shard_read_paths(read_paths, pid, pcount)
+    if pcount > 1:
         prof._batch_filter = lambda bs: stride_batches(bs, pid, pcount)
-    return my_paths
+    return list(read_paths)
 
 
 def run_genes_multihost(
     db, read_paths, species_ids, outdir: Optional[str] = None,
     tp: int = 1, batch_size: int = 8192, max_reads: Optional[int] = None,
     trim: int = 0, paired: bool = False, interleaved: bool = False,
+    read_length: Optional[int] = None,
     **profiler_kw,
 ) -> Dict:
     """Multi-host CNV profiling: every host streams a disjoint shard of
@@ -176,9 +187,11 @@ def run_genes_multihost(
         read_paths = [read_paths]
     prof = _make_local_profiler(GenesProfiler, DistributedGenesProfiler,
                                 db, species_ids, tp, profiler_kw)
-    my_paths = _stride_setup(prof, read_paths, pid, pcount)
+    my_paths = _stride_setup(prof, read_paths, pid, pcount,
+                             paired=paired, max_reads=max_reads)
     host = prof._accumulate(my_paths, max_reads, trim, batch_size,
-                            paired=paired, interleaved=interleaved)
+                            paired=paired, interleaved=interleaved,
+                            read_length=read_length)
     if pcount > 1:
         host = {k: _allgather_sum(v) for k, v in host.items()}
     results = prof._finalize(host)
@@ -191,6 +204,7 @@ def run_snps_multihost(
     db, read_paths, species_ids, outdir: Optional[str] = None,
     tp: int = 1, batch_size: int = 8192, max_reads: Optional[int] = None,
     trim: int = 0, paired: bool = False, interleaved: bool = False,
+    read_length: Optional[int] = None,
     **profiler_kw,
 ) -> Dict:
     """Multi-host SNP pileup: hosts stream disjoint read shards; at end
@@ -213,9 +227,11 @@ def run_snps_multihost(
         read_paths = [read_paths]
     prof = _make_local_profiler(SnpsProfiler, DistributedSnpsProfiler,
                                 db, species_ids, tp, profiler_kw)
-    my_paths = _stride_setup(prof, read_paths, pid, pcount)
+    my_paths = _stride_setup(prof, read_paths, pid, pcount,
+                             paired=paired, max_reads=max_reads)
     host = prof._accumulate(my_paths, max_reads, trim, batch_size,
-                            paired=paired, interleaved=interleaved)
+                            paired=paired, interleaved=interleaved,
+                            read_length=read_length)
     if pcount > 1:
         merged = dict(
             counts=_allgather_sum(host["counts"]),
@@ -264,11 +280,8 @@ def run_species_multihost(
     else:
         prof = SpeciesProfiler(db, seed=seed, **profiler_kw)
 
-    my_paths = shard_read_paths(read_paths, pid, pcount)
-    if pcount > 1 and len(read_paths) < pcount:
-        # one shared file: stride batches instead
-        my_paths = list(read_paths)
-        prof._batch_filter = lambda bs: stride_batches(bs, pid, pcount)
+    my_paths = _stride_setup(prof, read_paths, pid, pcount,
+                             max_reads=max_reads)
 
     unique_count, unique_bp, ambiguous = prof._run_device(
         my_paths, read_length, max_reads, batch_size)

@@ -23,12 +23,12 @@ rank-major, so owner = best_col // C). This is the device analogue of
 the reference's per-species forked pileups + line-range shards
 (midas/merge/snps.py:366-386) with psum instead of temp files.
 
-With tp=1 the gathered table equals the single-chip candidate table, so
-results are bit-identical to the single-device profilers (tested); with
-tp>1 the candidate pool is a superset drawn per shard, so argmax
-tie-breaking among equal-scoring multi-mapped hits can differ — same
-class of nondeterminism as the reference's unseeded RNG
-(species.py:113-117) and bowtie2's own multimapper arbitration.
+With tp=1 the gathered table equals the single-chip candidate table;
+with tp>1 it is a per-shard-drawn superset — in both cases the
+canonical multimapper tie-break (score, then global
+seq_idx/tstart/strand — device_steps.canonical_best_col) resolves
+equal-score hits identically, so results are BIT-EQUAL to the
+single-device profilers at any dp x tp (tested at tp=2 and tp=4).
 """
 
 from __future__ import annotations
@@ -174,7 +174,8 @@ class DistributedGenesProfiler(GenesProfiler):
 
     def _accumulate(self, read_paths, max_reads, trim, batch_size,
                     checkpoint_path=None, checkpoint_every: int = 64,
-                    paired: bool = False, interleaved: bool = False):
+                    paired: bool = False, interleaved: bool = False,
+                    read_length=None):
         from midas_tpu.io.prefetch import prefetch_device_batches
         from midas_tpu.profile import checkpoint as ckpt
         from midas_tpu.profile.common import select_batches
@@ -193,7 +194,8 @@ class DistributedGenesProfiler(GenesProfiler):
         fp = None
         if checkpoint_path:
             fp = self._fingerprint(read_paths, max_reads, trim, batch_size,
-                                   paired=paired, interleaved=interleaved)
+                                   paired=paired, interleaved=interleaved,
+                                   read_length=read_length)
             got = ckpt.load(checkpoint_path, fp)
             if got is not None:
                 arrays, meta = got
@@ -201,7 +203,8 @@ class DistributedGenesProfiler(GenesProfiler):
                 skip = int(meta["batches_done"])
         last_index = skip - 1
         batches = select_batches(read_paths, batch_size, al.max_read_len,
-                                 max_reads, paired, interleaved)
+                                 max_reads, paired, interleaved,
+                                 read_length=read_length)
         if getattr(self, "_batch_filter", None):
             batches = self._batch_filter(batches)  # multi-host striding
         for db in prefetch_device_batches(
@@ -453,7 +456,7 @@ class DistributedSnpsProfiler(SnpsProfiler):
     def _accumulate(self, read_paths, max_reads, trim, batch_size,
                     gap_cap=None, checkpoint_path=None,
                     checkpoint_every: int = 64, paired: bool = False,
-                    interleaved: bool = False) -> Dict:
+                    interleaved: bool = False, read_length=None) -> Dict:
         import os
 
         from midas_tpu.io.prefetch import prefetch_device_batches
@@ -480,7 +483,7 @@ class DistributedSnpsProfiler(SnpsProfiler):
                 mapid=self.mapid, readq=self.readq, mapq=self.mapq,
                 baseq=self.baseq, aln_cov=self.aln_cov, cap=cap,
                 species=self.species_ids, paired=paired,
-                interleaved=interleaved)
+                interleaved=interleaved, read_length=read_length)
             got = ckpt.load(checkpoint_path, fp)
             if got is not None:
                 arrays, meta = got
@@ -491,12 +494,16 @@ class DistributedSnpsProfiler(SnpsProfiler):
 
         def snapshot() -> Dict:
             h = ds.snps_state_host(state)
-            h["counts"] = self._reassemble_counts(ds.counts_host(counts))
+            # zero each stripe's dump column (local flat index Gs) so
+            # the tiered-dtype readback engages (see snps_state_host)
+            h["counts"] = self._reassemble_counts(
+                ds.counts_host(counts.at[:, self.stripe_len].set(0)))
             return h
 
         last_index = skip - 1
         batches = select_batches(read_paths, batch_size, L, max_reads,
-                                 paired, interleaved)
+                                 paired, interleaved,
+                                 read_length=read_length)
         if getattr(self, "_batch_filter", None):
             batches = self._batch_filter(batches)  # multi-host striding
         for db in prefetch_device_batches(

@@ -166,9 +166,21 @@ def load_read_batches(
 def _check_interleaved_pairs(b: ReadBatch) -> None:
     """When interleaved read names carry bowtie2-style /1 and /2 mate
     suffixes, verify rows 2i/2i+1 really are mates of the same fragment
-    (batch sizes are even, so pairs never straddle batches)."""
-    for i in range(0, b.n_reads - 1, 2):
-        a, c = b.names[i], b.names[i + 1]
+    (batch sizes are even, so pairs never straddle batches).
+
+    Sampled — first, last, and every 16th pair per batch — so the check
+    stays off the hot parsing path (a full per-pair Python loop runs at
+    a rate comparable to the native parser itself). A frame shift from
+    a truncated record mispairs EVERY subsequent pair, so sampling
+    still catches it within one batch; the odd-total check in
+    load_paired_batches covers the terminal case."""
+    n_pairs = b.n_reads // 2
+    if n_pairs == 0:
+        return
+    probe = set(range(0, n_pairs, 16))
+    probe.add(n_pairs - 1)
+    for p in probe:
+        a, c = b.names[2 * p], b.names[2 * p + 1]
         a_sfx = a[-2:] in ("/1", "/2")
         c_sfx = c[-2:] in ("/1", "/2")
         if not (a_sfx or c_sfx):

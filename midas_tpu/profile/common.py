@@ -102,7 +102,10 @@ def pick_best_hits(
 
     Returns (aligned [B] bool, best_col [B] int, mapq [B] int)."""
     B, C = res.score.shape
-    score_min = np.array([scoring.score_min(max(int(l), 1)) for l in lengths[:B]])
+    # bowtie2's scMin truncates to the integer score type (mapq.h /
+    # aligner driver); device twin: best_hit_device
+    score_min = np.array([float(int(scoring.score_min(max(int(l), 1))))
+                          for l in lengths[:B]])
     scores = np.where(res.valid, res.score, -np.inf)
     # canonical multimapper arbitration — the host twin of
     # device_steps.canonical_best_col: among equal-best candidates pick

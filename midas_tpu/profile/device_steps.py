@@ -55,48 +55,69 @@ def score_min_device(scoring: ScoringParams, qlens: jnp.ndarray) -> jnp.ndarray:
     return 20.0 + 8.0 * jnp.log(ql)
 
 
+def _mapq_threshold(frac: float, diff: jnp.ndarray) -> jnp.ndarray:
+    """Smallest integer x with x >= f32(frac) * diff, computed EXACTLY
+    in int32: f32(frac) = m / 2^27 for every band fraction (>= 0.0625,
+    so its f32 value has granularity 2^-27 or coarser), and
+    ceil(m*diff / 2^27) is evaluated with a split multiply so nothing
+    overflows int32 (diff <= ~2^13 for any plausible read length).
+    This reproduces bowtie2's `intScore >= diff * (double)0.Xf`
+    comparisons bit-for-bit — f32 products round the wrong way at
+    exact band boundaries (e.g. 0.6f*60 rounds to 36.0, admitting a
+    bestOver of 36 that bowtie2's double threshold 36.0000014 rejects)."""
+    import numpy as np
+
+    m = int(round(float(np.float32(frac)) * (1 << 27)))
+    assert m == float(np.float32(frac)) * (1 << 27), frac
+    m_hi, m_lo = m >> 14, m & ((1 << 14) - 1)
+    a = m_hi * diff
+    b = m_lo * diff
+    return (a + ((b + (1 << 27) - 1) >> 14)) >> 13
+
+
 def mapq_device(
     best: jnp.ndarray, second: jnp.ndarray, smin: jnp.ndarray,
     sperf: jnp.ndarray, has_second: jnp.ndarray, local: bool = False,
 ) -> jnp.ndarray:
     """Vectorized params.mapq_from_scores — bowtie2 MapqV2 (mapq.h),
-    both trees. The where-ladders are BUILT from the same table
+    both trees, with bowtie2's integer-score arithmetic: scMin truncates
+    toward zero, diff/bestOver/bestdiff are integers, and band
+    thresholds are the f32-cast fractions times diff evaluated exactly
+    (_mapq_threshold). The where-ladders are BUILT from the same table
     constants the host twin walks, so the two cannot drift."""
     from midas_tpu.align import params as ap
 
-    span = jnp.maximum(sperf - smin, 1.0)
-    best_over = best - smin
-    valid2 = has_second & (second >= smin)
-    # normalized ratios: integer-valued scores divided by span land ON
-    # the f32 representation of the fraction thresholds, matching the
-    # host twin's f64 `best_over >= frac*diff` at exact band boundaries
-    # (raw f32 `frac*span` rounds 0.6*100 up to 60.000002 and misses)
-    nb = best_over / span
+    smin_i = jnp.trunc(smin).astype(jnp.int32)
+    sperf_i = jnp.round(sperf).astype(jnp.int32)
+    diff = jnp.maximum(sperf_i - smin_i, 1)
+    best_i = jnp.round(best).astype(jnp.int32)
+    bo = best_i - smin_i
+    valid2 = has_second & (second >= smin_i.astype(jnp.float32))
+    sec_i = jnp.round(jnp.where(valid2, second, 0.0)).astype(jnp.int32)
 
     uniq_table = ap._MAPQ_UNIQ_LOCAL if local else ap._MAPQ_UNIQ_E2E
     floor = (ap._MAPQ_UNIQ_LOCAL_FLOOR if local else ap._MAPQ_UNIQ_E2E_FLOOR)
-    single = jnp.full_like(best_over, floor)
+    single = jnp.full(bo.shape, floor, jnp.int32)
     for frac, q in reversed(uniq_table):
-        single = jnp.where(nb >= frac, q, single)
+        single = jnp.where(bo >= _mapq_threshold(frac, diff), q, single)
 
-    bestdiff = jnp.abs(jnp.abs(best) - jnp.abs(second))
-    nd = bestdiff / span
-    perfect = nb >= 1.0 - 1e-6
-    ov84 = nb >= 0.84
-    ov68 = nb >= 0.68
-    hi = nb >= 0.67
+    bestdiff = jnp.abs(jnp.abs(best_i) - jnp.abs(sec_i))
+    perfect = bo == diff
+    ov84 = bo >= _mapq_threshold(0.84, diff)
+    ov68 = bo >= _mapq_threshold(0.68, diff)
+    hi = bo >= _mapq_threshold(0.67, diff)
     rows = ap._MAPQ_TIE_LOCAL if local else ap._MAPQ_TIE_E2E
     tail = ap._MAPQ_TIE_LOCAL_TAIL if local else ap._MAPQ_TIE_E2E_TAIL
     tie = jnp.where(bestdiff > 0,
                     jnp.where(hi, tail[0][0], tail[0][1]),
-                    jnp.where(hi, tail[1][0], tail[1][1])).astype(jnp.float32)
+                    jnp.where(hi, tail[1][0], tail[1][1])).astype(jnp.int32)
     for frac, q_perfect, q84, q68, q_else in reversed(rows):
         band = jnp.where(perfect, q_perfect,
                          jnp.where(ov84, q84, jnp.where(ov68, q68, q_else)))
-        tie = jnp.where(nd >= frac, band, tie)
+        tie = jnp.where(bestdiff >= _mapq_threshold(frac, diff), band, tie)
 
     q = jnp.where(valid2, tie, single)
-    return jnp.where(best < smin, 0, q).astype(jnp.int32)
+    return jnp.where(best_i < smin_i, 0, q).astype(jnp.int32)
 
 
 def canonical_best_col(out: Dict[str, jnp.ndarray],
@@ -130,7 +151,10 @@ def best_hit_device(
     masked = scores.at[jnp.arange(scores.shape[0]), best_col].set(NEG_INF)
     second = jnp.max(masked, axis=1)
     has_second = second > NEG_INF / 2
-    smin = score_min_device(scoring, qlens)
+    # bowtie2's scMin is the score-min function value CAST to the
+    # integer score type (truncation toward zero): local 20+8ln(L)=56.8
+    # admits an integer score of 56
+    smin = jnp.trunc(score_min_device(scoring, qlens))
     sperf = scoring.match * jnp.maximum(qlens.astype(jnp.float32), 1.0)
     aligned = (best > NEG_INF / 2) & (best >= smin)
     mapq = mapq_device(best, jnp.where(has_second, second, NEG_INF),
@@ -188,8 +212,8 @@ def paired_best_hit_device(
     fw_start = jnp.where(st1[:, :, None] == 0, t1s[:, :, None], t2s[:, None, :])
     rc_start = jnp.where(st1[:, :, None] == 0, t2s[:, None, :], t1s[:, :, None])
     ql1, ql2 = qlens[0::2], qlens[1::2]
-    smin1 = score_min_device(scoring, ql1)
-    smin2 = score_min_device(scoring, ql2)
+    smin1 = jnp.trunc(score_min_device(scoring, ql1))  # bowtie2 int scMin
+    smin2 = jnp.trunc(score_min_device(scoring, ql2))
     both_valid = ((s1 >= smin1[:, None])[:, :, None]
                   & (s2 >= smin2[:, None])[:, None, :])
     conc = (same_seq & opposite & (frag <= maxins) & (fw_start <= rc_start)
@@ -588,7 +612,11 @@ def snps_state_host(state: SnpsState) -> Dict[str, np.ndarray]:
     small = jax.device_get(dict(aligned_reads=state.aligned_reads,
                                 mapped_reads=state.mapped_reads))
     out = {k: np.asarray(v) for k, v in small.items()}
-    out["counts"] = counts_host(state.counts)
+    # zero the dump slot (flat index G collects every masked-out
+    # base observation, so it dwarfs 2^15 after one batch and would
+    # defeat the dtype tiering; _finalize never reads it)
+    G = state.counts.shape[0] // 4 - 1
+    out["counts"] = counts_host(state.counts.at[G].set(0))
     out.update(spill)
     out["gap_n"] = np.int64(gap_n)
     return out

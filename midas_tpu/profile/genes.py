@@ -73,7 +73,8 @@ class GenesProfiler:
 
     def run(self, read_paths, max_reads=None, trim=0, batch_size: int = 8192,
             checkpoint_path=None, align_only: bool = False,
-            paired: bool = False, interleaved: bool = False) -> Dict:
+            paired: bool = False, interleaved: bool = False,
+            read_length=None) -> Dict:
         """Device-resident CNV counting: per-gene accumulators live on
         device (profile.device_steps.genes_update, donated every batch)
         and come back once at the end — no per-batch readback. Batches
@@ -82,14 +83,16 @@ class GenesProfiler:
         --align / --call_genes stage split)."""
         host = self._accumulate(read_paths, max_reads, trim, batch_size,
                                 checkpoint_path, paired=paired,
-                                interleaved=interleaved)
+                                interleaved=interleaved,
+                                read_length=read_length)
         if align_only:
             return None
         return self._finalize(host)
 
     def _accumulate(self, read_paths, max_reads, trim, batch_size,
                     checkpoint_path=None, checkpoint_every: int = 64,
-                    paired: bool = False, interleaved: bool = False):
+                    paired: bool = False, interleaved: bool = False,
+                    read_length=None):
         from midas_tpu.io.prefetch import prefetch_device_batches
         from midas_tpu.profile import checkpoint as ckpt
         from midas_tpu.profile import device_steps as ds
@@ -101,7 +104,8 @@ class GenesProfiler:
         fp = None
         if checkpoint_path:
             fp = self._fingerprint(read_paths, max_reads, trim, batch_size,
-                                   paired=paired, interleaved=interleaved)
+                                   paired=paired, interleaved=interleaved,
+                                   read_length=read_length)
             got = ckpt.load(checkpoint_path, fp)
             if got is not None:
                 arrays, meta = got
@@ -109,7 +113,8 @@ class GenesProfiler:
                 skip = int(meta["batches_done"])
         last_index = skip - 1
         batches = select_batches(read_paths, batch_size, al.max_read_len,
-                                 max_reads, paired, interleaved)
+                                 max_reads, paired, interleaved,
+                                 read_length=read_length)
         if getattr(self, "_batch_filter", None):
             batches = self._batch_filter(batches)  # multi-host striding
         for db in prefetch_device_batches(
@@ -145,7 +150,8 @@ class GenesProfiler:
                     num_seqs=int(self.pack.num_seqs))
 
     def _fingerprint(self, read_paths, max_reads, trim, batch_size,
-                     paired=False, interleaved=False) -> str:
+                     paired=False, interleaved=False,
+                     read_length=None) -> str:
         from midas_tpu.profile import checkpoint as ckpt
 
         return ckpt.fingerprint(
@@ -153,7 +159,8 @@ class GenesProfiler:
             max_reads=max_reads, trim=trim, batch_size=batch_size,
             mapid=self.mapid, readq=self.readq, mapq=self.mapq,
             aln_cov=self.aln_cov, species=self.species_ids,
-            paired=paired, interleaved=interleaved)
+            paired=paired, interleaved=interleaved,
+            read_length=read_length)
 
     def finalize_from_checkpoint(self, checkpoint_path,
                                  force: bool = False) -> Dict:
@@ -300,6 +307,7 @@ def run_genes(args: Dict) -> GenesProfiler:
                          trim=args.get("trim", 0),
                          paired=paired,
                          interleaved=bool(args.get("interleaved")),
+                         read_length=args.get("read_length"),
                          checkpoint_path=state_path,
                          align_only=not args.get("cov"))
         if not args.get("cov"):

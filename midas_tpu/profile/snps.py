@@ -69,7 +69,7 @@ class SnpsProfiler:
     def run(self, read_paths, max_reads=None, trim=0, batch_size: int = 8192,
             gap_cap: Optional[int] = None, checkpoint_path=None,
             align_only: bool = False, paired: bool = False,
-            interleaved: bool = False) -> Dict:
+            interleaved: bool = False, read_length=None) -> Dict:
         """Device-resident pileup: gapless kept reads scatter-add their
         base one-hots into a [4, G] device count tensor
         (profile.device_steps.snps_update, donated each batch); the rare
@@ -80,7 +80,8 @@ class SnpsProfiler:
         --align / --pileup stage split)."""
         host = self._accumulate(read_paths, max_reads, trim, batch_size,
                                 gap_cap, checkpoint_path, paired=paired,
-                                interleaved=interleaved)
+                                interleaved=interleaved,
+                                read_length=read_length)
         if align_only:
             return None
         return self._finalize(host)
@@ -88,7 +89,7 @@ class SnpsProfiler:
     def _accumulate(self, read_paths, max_reads, trim, batch_size,
                     gap_cap=None, checkpoint_path=None,
                     checkpoint_every: int = 64, paired: bool = False,
-                    interleaved: bool = False) -> Dict:
+                    interleaved: bool = False, read_length=None) -> Dict:
         import jax.numpy as jnp
 
         from midas_tpu.io.prefetch import prefetch_device_batches
@@ -111,7 +112,7 @@ class SnpsProfiler:
                 mapid=self.mapid, readq=self.readq, mapq=self.mapq,
                 baseq=self.baseq, aln_cov=self.aln_cov, cap=cap,
                 species=self.species_ids, paired=paired,
-                interleaved=interleaved)
+                interleaved=interleaved, read_length=read_length)
             got = ckpt.load(checkpoint_path, fp)
             if got is not None:
                 arrays, meta = got
@@ -126,7 +127,8 @@ class SnpsProfiler:
 
         last_index = skip - 1
         batches = select_batches(read_paths, batch_size, L, max_reads,
-                                 paired, interleaved)
+                                 paired, interleaved,
+                                 read_length=read_length)
         if getattr(self, "_batch_filter", None):
             batches = self._batch_filter(batches)  # multi-host striding
         for db in prefetch_device_batches(
@@ -314,6 +316,7 @@ def run_snps(args: Dict) -> SnpsProfiler:
                          trim=args.get("trim", 0),
                          paired=paired,
                          interleaved=bool(args.get("interleaved")),
+                         read_length=args.get("read_length"),
                          checkpoint_path=state_path,
                          align_only=not args.get("call"))
         if not args.get("call"):

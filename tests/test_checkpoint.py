@@ -255,19 +255,29 @@ def test_sliced_spill_host_roundtrip():
 
 
 def test_mapq_unique_branch_bowtie2_table():
-    """The no-competitor MAPQ branch follows bowtie2's documented
-    MapqV2 unique-alignment table: 0.8/0.7/0.6/0.5/0.4/0.3 fractions of
-    the score range -> 42/40/24/23/8/3/0. Host and device twins agree
-    at every transition."""
+    """The no-competitor MAPQ branch follows bowtie2's MapqV2
+    unique-alignment table with its exact arithmetic: integer scores,
+    scMin truncated toward zero, and thresholds of diff times the
+    f32-CAST fractions (0.8f*100 = 80.0000012, so bestOver == 80 falls
+    BELOW the 0.8 band; 0.7f < 0.7, so bestOver == 70 lands IN the 0.7
+    band). Host and device twins agree at every probe."""
     import jax.numpy as jnp
 
     from midas_tpu.align.params import mapq_from_scores
 
-    smin, sperf = -100.0, 0.0
-    cases = [(-15.0, 42), (-20.0, 42), (-20.1, 40), (-25.0, 40),
-             (-30.1, 24), (-40.0, 24), (-40.1, 23), (-50.0, 23),
-             (-50.1, 8), (-60.0, 8), (-60.1, 3), (-70.0, 3),
-             (-70.1, 0), (-99.0, 0)]
+    smin, sperf = -100.0, 0.0   # diff = 100
+    cases = [(-15.0, 42), (-19.0, 42),
+             (-20.0, 40),   # bo=80 < 0.8f*100 = 80.0000012
+             (-25.0, 40),
+             (-30.0, 40),   # bo=70 >= 0.7f*100 = 69.9999988
+             (-31.0, 24), (-39.0, 24),
+             (-40.0, 23),   # bo=60 < 0.6f*100 = 60.0000024
+             (-50.0, 23),   # bo=50 >= 0.5f*100 = 50 exactly
+             (-59.0, 8),
+             (-60.0, 3),    # bo=40 < 0.4f*100 = 40.0000006
+             (-69.0, 3),
+             (-70.0, 0),    # bo=30 < 0.3f*100 = 30.0000001
+             (-99.0, 0)]
     for best, want in cases:
         got = mapq_from_scores(best, float("-inf"), smin, sperf, False)
         assert got == want, (best, got, want)
@@ -278,30 +288,39 @@ def test_mapq_unique_branch_bowtie2_table():
         assert int(dev[0]) == want, (best, int(dev[0]), want)
     # below score_min -> 0 regardless
     assert mapq_from_scores(-101.0, float("-inf"), smin, sperf, False) == 0
+    # fractional scMin truncates: smin=-60.6 -> -60, diff=60; a perfect
+    # read (bo=60=diff) is in the 0.8 band
+    assert mapq_from_scores(0.0, float("-inf"), -60.6, 0.0, False) == 42
+    # bo=48 < 0.8f*60 = 48.0000007 -> 40 band
+    assert mapq_from_scores(-12.0, float("-inf"), -60.6, 0.0, False) == 40
 
 
 def test_mapq_tie_branch_mapqv2_tree():
     """The with-competitor branch follows bowtie2's MapqV2 tie tree
-    (mapq.h): bestdiff deciles of the score range with bestOver
-    sub-bands at ==diff / >=0.84 / >=0.68 (0.67 in the tail bands).
-    Host and device twins agree at every transition, both trees."""
+    (mapq.h): bestdiff bands at f32-cast deciles of diff, bestOver
+    sub-bands at ==diff / 0.84f / 0.68f (0.67f in the tail bands).
+    Includes the exact-boundary case where the f32-cast threshold
+    rejects a rational-fraction hit: L=99 end-to-end gives scMin=-60
+    (diff 60), best=-24/second=-60 -> bestdiff=36 < 0.6f*60=36.0000014
+    -> the 0.5 band with bestOver=36 < 0.68f*60 -> MAPQ 5 (a rational
+    0.6 threshold would give 22, wrongly crossing the mapq>=20 gate)."""
     import jax.numpy as jnp
 
     from midas_tpu.align.params import mapq_from_scores
 
     smin, sperf = -100.0, 0.0   # diff = 100, end-to-end shape
     e2e_cases = [
-        # (best, second, want): bestdiff band x bestOver sub-band
-        (0.0, -95.0, 39),     # bestdiff .95, perfect
-        (-5.0, -100.0, 33),   # bestdiff .95, not perfect
-        (0.0, -85.0, 38),     # .85, perfect
-        (-10.0, -95.0, 27),   # .85
+        # (best, second, want)
+        (0.0, -95.0, 39),     # bestdiff 95 >= 0.9 band, perfect
+        (-5.0, -100.0, 33),   # bestdiff 95, not perfect
+        (0.0, -85.0, 38),     # .8 band, perfect
+        (-10.0, -95.0, 27),   # bestdiff 85, bo 90 >= 0.84f*100
         (0.0, -75.0, 37), (-10.0, -85.0, 26),
         (0.0, -65.0, 36), (-10.0, -75.0, 22),
-        (0.0, -55.0, 35),     # .55, perfect
-        (-10.0, -65.0, 25),   # .55, bestOver .90 >= .84
-        (-20.0, -75.0, 16),   # .55, bestOver .80 in [.68, .84)
-        (-40.0, -95.0, 5),    # .55, bestOver .60 < .68
+        (0.0, -55.0, 35),     # .5 band, perfect
+        (-10.0, -65.0, 25),   # .5 band, bo 90 >= 84.0000018
+        (-20.0, -75.0, 16),   # bo 80 in [68.0000001, 84.0000018)
+        (-40.0, -95.0, 5),    # bo 60 < 0.68f*100
         (0.0, -45.0, 34), (-10.0, -55.0, 21), (-20.0, -65.0, 14),
         (-40.0, -85.0, 4),
         (0.0, -35.0, 32), (-10.0, -45.0, 18), (-20.0, -55.0, 10),
@@ -310,13 +329,13 @@ def test_mapq_tie_branch_mapqv2_tree():
         (-40.0, -65.0, 2),
         (0.0, -15.0, 30), (-10.0, -25.0, 15), (-20.0, -35.0, 8),
         (-40.0, -55.0, 1),
-        # bestdiff in (0, 0.1*diff)
-        (-10.0, -15.0, 6),    # bestOver .90 >= .67
-        (-40.0, -45.0, 2),    # bestOver .60 < .67
+        # bestdiff in (0, 0.1f*diff)
+        (-10.0, -15.0, 6),    # bo 90 >= 0.67f*100 = 66.9999964
+        (-40.0, -45.0, 2),    # bo 60 < 66.9999964
         # exact tie
         (-10.0, -10.0, 1), (-40.0, -40.0, 0),
         # second-best below scMin does NOT count: unique branch
-        (-10.0, -101.0, 42),
+        (-15.0, -101.0, 42),
     ]
     for best, second, want in e2e_cases:
         got = mapq_from_scores(best, second, smin, sperf, True)
@@ -328,21 +347,35 @@ def test_mapq_tie_branch_mapqv2_tree():
             jnp.asarray([True]))
         assert int(dev[0]) == want, (best, second, int(dev[0]), want)
 
-    # local tree: unique table 44/42/41/36/28/24 floor 22; tie bands
-    # single-valued at >=0.6 (40/39/33/30), sub-banded below
-    smin_l, sperf_l = 20.0, 220.0   # diff = 200
-    loc_cases_uniq = [(220.0, 44), (180.1, 44), (170.0, 42), (145.0, 41),
+    # the f32-cast boundary case from the round-4 review
+    got = mapq_from_scores(-24.0, -60.0, -60.0, 0.0, True)
+    assert got == 5, got
+    dev = ds.mapq_device(jnp.asarray([-24.0], jnp.float32),
+                         jnp.asarray([-60.0], jnp.float32),
+                         jnp.asarray([-60.0]), jnp.asarray([0.0]),
+                         jnp.asarray([True]))
+    assert int(dev[0]) == 5
+
+    # local tree: unique table 44/42/41/36/28/24 floor 22 with the same
+    # f32-cast thresholds; tie bands single-valued at >= 0.6
+    smin_l, sperf_l = 20.0, 220.0   # smin_i = 20, diff = 200
+    loc_cases_uniq = [(220.0, 44), (181.0, 44),
+                      (180.0, 42),  # bo=160 < 0.8f*200 = 160.0000024
+                      (161.0, 42),
+                      (160.0, 42),  # bo=140 >= 0.7f*200 = 139.9999976
+                      (145.0, 41),  # bo=125 >= 0.6f*200 = 120.0000048
+                      (121.0, 36),  # bo=101 < that, >= 0.5*200
                       (125.0, 36), (105.0, 28), (85.0, 24), (25.0, 22)]
     for best, want in loc_cases_uniq:
         got = mapq_from_scores(best, float("-inf"), smin_l, sperf_l, False,
                                local=True)
         assert got == want, (best, got, want)
     loc_cases_tie = [
-        (220.0, 30.0, 40),    # bestdiff .95
+        (220.0, 30.0, 40),    # bestdiff 190 >= .9 band
         (220.0, 50.0, 39), (220.0, 70.0, 33), (220.0, 90.0, 30),
-        (220.0, 110.0, 27),   # .55, perfect
-        (200.0, 90.0, 25),    # .55, bestOver .90
-        (160.0, 50.0, 20),    # .55, bestOver .70 < .84
+        (220.0, 110.0, 27),   # .5 band, perfect
+        (200.0, 90.0, 25),    # bestdiff 110, bo 180 >= 0.84f*200
+        (160.0, 50.0, 20),    # bo 140 in [0.68f*200, 0.84f*200)
         (220.0, 130.0, 26), (200.0, 110.0, 19), (160.0, 70.0, 15),
         (220.0, 150.0, 23), (200.0, 130.0, 17), (160.0, 90.0, 11),
         (220.0, 170.0, 21), (200.0, 150.0, 14), (160.0, 110.0, 8),

@@ -233,3 +233,53 @@ def test_truncation_warns(tmp_path, capfd):
     assert batches[0].lengths[0] == 128
     err = capfd.readouterr().err
     assert "truncated" in err and "1 reads" in err
+
+
+def test_multihost_sharding_policy():
+    """File-granular sharding must never split mate files across ranks
+    or apply max_reads per-file: paired or capped runs fall back to
+    batch striding of the shared stream (round-4 review finding)."""
+    from midas_tpu.dist.driver import _stride_setup
+
+    class P:
+        pass
+
+    # unpaired, uncapped, files >= hosts: file sharding
+    p = P()
+    assert _stride_setup(p, ["a", "b"], 0, 2) == ["a"]
+    assert not hasattr(p, "_batch_filter")
+    # paired: stride, both files stay together on every rank
+    p = P()
+    assert _stride_setup(p, ["m1", "m2"], 1, 2, paired=True) == ["m1", "m2"]
+    assert hasattr(p, "_batch_filter")
+    # max_reads: stride so the cap applies to the shared stream
+    p = P()
+    assert _stride_setup(p, ["a", "b"], 0, 2, max_reads=100) == ["a", "b"]
+    assert hasattr(p, "_batch_filter")
+    # single process: pass through untouched
+    p = P()
+    assert _stride_setup(p, ["a"], 0, 1, paired=True) == ["a"]
+    assert not hasattr(p, "_batch_filter")
+
+
+def test_counts_host_tiering_with_dump_slot(sim_community, sim_reads):
+    """The tiered counts readback must engage on real runs: the dump
+    slot (flat index G) collects millions of masked observations and is
+    zeroed before the max() probe (round-4 review finding)."""
+    import jax.numpy as jnp
+
+    from midas_tpu.profile import device_steps as ds
+
+    counts = jnp.zeros(4 * 11, jnp.int32).at[3].set(200).at[10].set(10**6)
+    # raw max is 10^6 (dump at G=10); zeroed pull must take the uint8 tier
+    got = ds.counts_host(counts.at[10].set(0))
+    assert got.dtype == np.int32 and int(got[3]) == 200 and int(got[10]) == 0
+    # and through snps_state_host: G computed from the buffer shape
+    st = ds.snps_init(10, 2, 16, 8)
+    st = ds.SnpsState(counts=counts, aligned_reads=st.aligned_reads,
+                      mapped_reads=st.mapped_reads, gap_codes=st.gap_codes,
+                      gap_quals=st.gap_quals, gap_meta=st.gap_meta,
+                      gap_n=st.gap_n)
+    h = ds.snps_state_host(st)
+    assert int(h["counts"][3]) == 200
+    assert int(h["counts"][10]) == 0   # dump zeroed in the snapshot
