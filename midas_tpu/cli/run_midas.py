@@ -46,6 +46,9 @@ def species_parser(subs):
                    help="Discard reads with alignment coverage < ALN_COV (0.75)")
     p.add_argument("--read_length", type=int, metavar="INT",
                    help="Trim reads to READ_LENGTH and discard reads with length < READ_LENGTH. By default, reads are not trimmed or filtered")
+    p.add_argument("--profile", action="store_true", default=False,
+                   help="Write an XLA profiler trace to "
+                        "<outdir>/species/temp/xla_trace")
     p.add_argument("--seed", type=int, default=42,
                    help="RNG seed for probabilistic assignment of ambiguous reads (42)")
     return p
@@ -90,6 +93,10 @@ def _add_shared_align_args(p, mode_default):
                    help="Consume an existing alignment state even when it "
                         "was written with different parameters (downgrades "
                         "the mismatch error to a warning)")
+    p.add_argument("--profile", action="store_true", default=False,
+                   help="Write an XLA profiler trace to "
+                        "<outdir>/<program>/temp/xla_trace (view with "
+                        "TensorBoard)")
     return p
 
 
@@ -349,6 +356,16 @@ def main(argv=None):
     args["log"] = log
     write_readme(program, args)
     start = time()
+    tracing = False
+    if args.get("profile"):
+        # XLA profiler trace (view with TensorBoard / xprof): the
+        # device-level complement of the per-stage wall/RSS prints
+        import jax
+
+        trace_dir = os.path.join(args["outdir"], program, "temp/xla_trace")
+        jax.profiler.start_trace(trace_dir)
+        tracing = True
+        log.write(f"xla trace: {trace_dir}\n")
     try:
         if program == "species":
             from midas_tpu.profile.species import run_species
@@ -360,6 +377,10 @@ def main(argv=None):
             from midas_tpu.profile.snps import run_snps
             run_snps(args)
     finally:
+        if tracing:
+            import jax
+
+            jax.profiler.stop_trace()
         log.write(f"total minutes: {round((time() - start) / 60, 2)}\n")
         log.close()
     return 0

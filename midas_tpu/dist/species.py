@@ -233,6 +233,43 @@ class DistributedSpeciesProfiler(SpeciesProfiler):
                 drained.append(spill)
             return _dc.replace(state, amb_n=jnp.zeros((), jnp.int32))
 
+        skip = 0
+        fp = None
+        if checkpoint_path:
+            from midas_tpu.profile import checkpoint as ckpt
+
+            fp = ckpt.fingerprint(
+                kind="species-dist", schema=2,
+                paths=list(map(str, np.atleast_1d(read_paths))),
+                read_length=read_length, max_reads=max_reads,
+                batch_size=batch_size, aln_cov=self.aln_cov,
+                num_cands=al.seed_params.num_cands, cap=cap,
+                tp=self.tp, dp=self.dp)
+            got = ckpt.load(checkpoint_path, fp)
+            if got is not None:
+                arrays, meta = got
+                st0 = ds.species_init(
+                    n_species, self.tp * al.seed_params.num_cands, cap)
+                state = _dc.replace(
+                    st0,
+                    uniq_count=jnp.asarray(arrays["uniq_count"]),
+                    uniq_bp=jnp.asarray(arrays["uniq_bp"]),
+                    total_alns=jnp.asarray(np.int32(arrays["total_alns"])))
+                if arrays["amb_sp"].shape[0]:
+                    drained.append({k: arrays[k]
+                                    for k in ("amb_sp", "amb_bp", "amb_seq")})
+                skip = int(meta["batches_done"])
+                total_reads = int(meta["total_reads"])
+                total_bp = int(meta["total_bp"])
+
+        def full_rows():
+            keys = ("amb_sp", "amb_bp", "amb_seq")
+            if not drained:
+                return {k: np.zeros(
+                    (0, self.tp * al.seed_params.num_cands), np.int32)
+                    for k in keys}
+            return {k: np.concatenate([d[k] for d in drained]) for k in keys}
+
         batches = load_read_batches(
             read_paths, batch_size=batch_size, max_len=al.max_read_len,
             read_length=read_length, max_reads=max_reads,
@@ -240,7 +277,10 @@ class DistributedSpeciesProfiler(SpeciesProfiler):
         if getattr(self, "_batch_filter", None):
             batches = self._batch_filter(batches)  # multi-host striding
         rows_bound = 0
-        for db in prefetch_device_batches(batches, ("codes", "lengths")):
+        last_index = skip - 1
+        for db in prefetch_device_batches(batches, ("codes", "lengths"),
+                                          skip_batches=skip):
+            last_index = db.index
             total_reads += db.n_reads
             total_bp += db.total_bp
             codes, lengths, n_reads = db.arrays
@@ -256,15 +296,29 @@ class DistributedSpeciesProfiler(SpeciesProfiler):
             if rows_bound > cap - batch_size:
                 state = drain(state)
                 rows_bound = 0
+            if checkpoint_path and (db.index + 1) % checkpoint_every == 0:
+                from midas_tpu.profile import checkpoint as ckpt
+
+                state = drain(state)
+                rows_bound = 0
+                h = ds.species_state_host(state)
+                rows = full_rows()
+                h.update(rows)
+                h["amb_n"] = np.int64(rows["amb_sp"].shape[0])
+                ckpt.save(checkpoint_path, h, dict(
+                    fingerprint=fp, batches_done=db.index + 1,
+                    total_reads=total_reads, total_bp=total_bp))
         state = drain(state)
         host = ds.species_state_host(state)
-        keys = ("amb_sp", "amb_bp", "amb_seq")
-        if drained:
-            host.update({k: np.concatenate([d[k] for d in drained])
-                         for k in keys})
-        else:
-            host.update({k: host[k][:0] for k in keys})
+        host.update(full_rows())
         amb_n = host["amb_sp"].shape[0]
+        if checkpoint_path:
+            from midas_tpu.profile import checkpoint as ckpt
+
+            host["amb_n"] = np.int64(amb_n)
+            ckpt.save(checkpoint_path, host, dict(
+                fingerprint=fp, batches_done=last_index + 1,
+                total_reads=total_reads, total_bp=total_bp))
         unique_count = host["uniq_count"][:n_species].astype(np.int64)
         unique_bp = host["uniq_bp"][:n_species].astype(np.float64)
         ambiguous = []

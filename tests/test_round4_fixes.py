@@ -283,3 +283,48 @@ def test_counts_host_tiering_with_dump_slot(sim_community, sim_reads):
     h = ds.snps_state_host(st)
     assert int(h["counts"][3]) == 200
     assert int(h["counts"][10]) == 0   # dump zeroed in the snapshot
+
+
+def test_dist_species_checkpoint_resume(sim_community, sim_reads, tmp_path):
+    """DistributedSpeciesProfiler previously accepted checkpoint_path
+    and silently dropped it; now a mid-stream snapshot resumes
+    byte-identically on the dp x tp mesh."""
+    import jax
+
+    from midas_tpu.db import Database
+    from midas_tpu.dist.sharded import make_mesh
+    from midas_tpu.dist.species import DistributedSpeciesProfiler
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    fq, _ = sim_reads
+    db = Database(sim_community.db_dir)
+    mesh = make_mesh(8, tp=2)
+    prof = DistributedSpeciesProfiler(db, mesh=mesh)
+    want = prof.run([fq], batch_size=128)
+
+    ck = str(tmp_path / "state.npz")
+    prof2 = DistributedSpeciesProfiler(db, mesh=mesh)
+    # partial run: consume only the first 3 batches, checkpointing each
+    uc, ub, amb = prof2._run_device([fq], None, 3 * 128, 128,
+                                    checkpoint_path=ck, checkpoint_every=1)
+    assert os.path.isfile(ck)
+    # fresh profiler resumes the FULL stream from the same checkpoint
+    # geometry (fingerprint matches only when params match — the
+    # max_reads difference means this resume starts OVER, which is the
+    # fingerprint doing its job)
+    prof3 = DistributedSpeciesProfiler(db, mesh=mesh)
+    uc3, ub3, amb3 = prof3._run_device([fq], None, None, 128,
+                                       checkpoint_path=ck,
+                                       checkpoint_every=2)
+    got = prof3.assign_and_normalize(uc3, ub3, amb3)
+    assert got == want
+    # rerun with the now-complete checkpoint: restores and skips the
+    # whole stream, byte-identical output
+    prof4 = DistributedSpeciesProfiler(db, mesh=mesh)
+    uc4, ub4, amb4 = prof4._run_device([fq], None, None, 128,
+                                       checkpoint_path=ck,
+                                       checkpoint_every=2)
+    prof4.stats = dict(prof3.stats)
+    got4 = prof4.assign_and_normalize(uc4, ub4, amb4)
+    assert got4 == want
