@@ -303,13 +303,26 @@ def _check_stage_intermediates(args: dict, program: str) -> None:
                      "using --species_id\n")
 
 
+def _is_rank0() -> bool:
+    """True unless running as a non-zero rank of a jax.distributed job
+    (the CLI is multi-host aware: non-zero ranks compute but only rank
+    0 writes log.txt/readme.txt/outputs)."""
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 def _setup_outdir(args: dict, program: str):
     outdir = args["outdir"]
     os.makedirs(outdir, exist_ok=True)
     for sub in [program, f"{program}/temp"] + (
             [f"{program}/output"] if program in ("genes", "snps") else []):
         os.makedirs(os.path.join(outdir, sub), exist_ok=True)
-    log = open(os.path.join(outdir, program, "log.txt"), "w")
+    log = open(os.path.join(outdir, program, "log.txt")
+               if _is_rank0() else os.devnull, "w")
     log.write("command: " + " ".join(sys.argv) + "\n")
     for k in sorted(args):
         if k not in ("log",):
@@ -354,7 +367,8 @@ def main(argv=None):
         _check_stage_intermediates(args, program)
     log = _setup_outdir(args, program)
     args["log"] = log
-    write_readme(program, args)
+    if _is_rank0():
+        write_readme(program, args)
     start = time()
     tracing = False
     if args.get("profile"):

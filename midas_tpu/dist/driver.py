@@ -290,7 +290,11 @@ def run_species_multihost(
                                    prof.stats))
     abundance = prof.assign_and_normalize(unique_count, unique_bp, ambiguous)
     if outdir is not None and jax.process_index() == 0:
-        os.makedirs(os.path.join(outdir, "species"), exist_ok=True)
+        os.makedirs(os.path.join(outdir, "species/temp"), exist_ok=True)
         write_abundance(
             os.path.join(outdir, "species/species_profile.txt"), abundance)
+        with open(os.path.join(outdir, "species/temp/read_count.txt"),
+                  "w") as f:
+            f.write(f"{prof.stats['total_reads']}\t"
+                    f"{prof.stats['total_bp']}")
     return abundance

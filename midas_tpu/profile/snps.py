@@ -296,6 +296,29 @@ def run_snps(args: Dict) -> SnpsProfiler:
 
     state_path = os.path.join(outdir, "snps/temp/state.npz")
     scan_paths = [p for p in (args.get("m1"), args.get("m2")) if p]
+
+    import jax
+
+    if jax.process_count() > 1 and scan_paths:
+        # multi-host job: full align+pileup via the distributed driver
+        # (stage splits/checkpoints are single-host features)
+        from midas_tpu.dist.driver import run_snps_multihost
+
+        paired = bool(args.get("m2")) or bool(args.get("interleaved"))
+        with stage_timer(
+                f"Pileup over {jax.process_count()} hosts", log):
+            run_snps_multihost(
+                args["db"], scan_paths, species_ids, outdir=outdir,
+                max_reads=args.get("max_reads"), trim=args.get("trim", 0),
+                paired=paired, interleaved=bool(args.get("interleaved")),
+                read_length=args.get("read_length"),
+                mapid=args.get("mapid", 94.0), readq=args.get("readq", 20.0),
+                mapq=args.get("mapq", 20), baseq=args.get("baseq", 30),
+                aln_cov=args.get("aln_cov", 0.75),
+                max_read_len=detect_max_read_len(scan_paths,
+                                                 args.get("read_length")))
+        return None
+
     with stage_timer("Building genome database", log):
         profiler = SnpsProfiler(
             db, species_ids,

@@ -498,6 +498,27 @@ def run_species(args: Dict) -> Dict:
     paths = [args["m1"]]
     if args.get("m2"):
         paths.append(args["m2"])
+
+    import jax
+
+    if jax.process_count() > 1:
+        # launched under an initialized jax.distributed job (SLURM,
+        # mpirun, ...): route to the multi-host driver — each host
+        # streams a read shard, one end-of-stream collective merge,
+        # rank 0 writes (dist/driver.py)
+        from midas_tpu.dist.driver import run_species_multihost
+
+        with stage_timer(
+                f"Profiling species over {jax.process_count()} hosts", log):
+            return run_species_multihost(
+                args["db"], paths, outdir=outdir,
+                read_length=args.get("read_length"),
+                max_reads=args.get("max_reads"),
+                seed=args.get("seed", 42), mapid=args.get("mapid"),
+                aln_cov=args.get("aln_cov", 0.75),
+                max_read_len=detect_max_read_len(paths,
+                                                 args.get("read_length")))
+
     with stage_timer("Loading marker-gene database", log):
         db = Database(args["db"])
         profiler = SpeciesProfiler(
