@@ -50,8 +50,18 @@ class ScoringParams:
         return float(qlen) * float(dblen) * 2.0 ** (-self.bitscore(raw))
 
 
-# megablast-like scoring for the 15-marker-gene search
-MARKER_SCORING = ScoringParams(match=1, mismatch=-2, gap_open=2, gap_extend=1, mode="local")
+# megablast scoring for the 15-marker-gene search. hs-blastn runs with
+# NCBI megablast defaults (the reference passes no scoring flags,
+# midas/run/species.py:39-46): reward 1, penalty -2, and the greedy
+# aligner's LINEAR gap cost of reward/2 - penalty = 2.5 per gap column
+# (no opening cost). Everything is scaled x2 to stay integer (match 2,
+# mismatch -4, extend 5); ka_lambda halves to compensate, so bitscores
+# and e-values match the binary's. The affine open=2/extend=1 model
+# used before round 4 preferred gapped extensions megablast rejects
+# (first seen as a best-hit set divergence on 150 bp indel reads).
+MARKER_SCORING = ScoringParams(match=2, mismatch=-4, gap_open=0,
+                               gap_extend=5, mode="local",
+                               ka_lambda=0.64, ka_k=0.46)
 
 # bowtie2 end-to-end-like scoring (rep-genome SNP mapping default,
 # run_midas.py:404 mode default 'global')

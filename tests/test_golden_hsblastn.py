@@ -141,3 +141,38 @@ def test_best_hits_with_indel_reads(golden, tmp_path):
     assert not mismatch, (
         f"{len(mismatch)}/{len(refs)} indel reads with different best-hit "
         f"sets, e.g. {sorted(mismatch)[:5]}")
+
+
+def test_best_hits_150bp_reads(golden, tmp_path):
+    """Golden agreement on 150 bp reads (the common Illumina length):
+    the auto-sized kernel bucket (160) must reproduce real hs-blastn's
+    post-filter best-hit sets read for read at full length — the
+    round-3 review's silent-truncation regression can never return
+    unnoticed."""
+    from midas_tpu.db.layout import Database
+    from midas_tpu.io.batch import detect_max_read_len
+    from midas_tpu.profile.species import SpeciesProfiler
+
+    db = golden["db"]
+    reads = str(tmp_path / "reads150.fq.gz")
+    simulate_reads(db, reads, n_reads=600, read_len=150,
+                   abundances=[0.35, 0.25, 0.2, 0.1, 0.1],
+                   error_rate=0.01, indel_rate=0.02, seed=29)
+    L = detect_max_read_len([reads])
+    assert L == 160
+    refout = str(tmp_path / "ref")
+    refmidas.run_reference_species(db.db_dir, reads, refout, seed=42,
+                                   tmpdir=str(tmp_path))
+    prof = SpeciesProfiler(Database(db.db_dir), seed=42, max_read_len=L)
+    our_m8 = str(tmp_path / "our.m8")
+    abun = prof.run(reads, batch_size=512, m8_path=our_m8)
+    assert prof.stats["total_bp"] == 600 * 150   # full length, no cap
+    ours = refmidas.parse_best_hits(our_m8, prof.cutoffs, prof.marker_info)
+    refs = refmidas.parse_best_hits(
+        os.path.join(refout, "species/temp/alignments.m8"),
+        prof.cutoffs, prof.marker_info)
+    assert set(ours) == set(refs), (
+        f"only_ours={len(set(ours) - set(refs))} "
+        f"only_ref={len(set(refs) - set(ours))}")
+    mismatch = {q for q in refs if ours[q][1] != refs[q][1]}
+    assert not mismatch, sorted(mismatch)[:3]

@@ -11,7 +11,7 @@ def E(s):
 
 def test_perfect_local_match():
     a = align_oracle(E("ACGTACGT"), E("TTACGTACGTTT"), MARKER_SCORING)
-    assert a.score == 8  # 8 matches * +1
+    assert a.score == 16  # 8 matches * +2 (megablast x2 scaling)
     assert a.matches == 8 and a.mismatches == 0 and a.gap_cols == 0
     assert (a.qstart, a.qend) == (0, 8)
     assert (a.tstart, a.tend) == (2, 10)
@@ -22,7 +22,8 @@ def test_mismatch_scoring():
     #      ACGTACGT
     #      ACGAACGT   (one mismatch at pos 3)
     a = align_oracle(E("ACGTACGT"), E("ACGAACGT"), MARKER_SCORING)
-    assert a.score == 7 - 2  # 7 matches - 2
+    # megablast x2 scaling: 7 matches * 2 - mismatch 4
+    assert a.score == 7 * 2 - 4
     assert a.matches == 7 and a.mismatches == 1
     assert a.nm == 1
 
@@ -40,8 +41,8 @@ def test_gap_alignment():
     a = align_oracle(E(q), E(t), MARKER_SCORING)
     assert a.gap_cols == 2 and a.gap_opens == 1
     assert a.matches == 20
-    # score = 20 matches - (open 2 + 2*ext 1) = 20 - 4
-    assert a.score == 16
+    # megablast linear gaps (x2 scaling): 20*2 - (open 0 + 2*ext 5)
+    assert a.score == 40 - 10
 
 
 def test_glocal_full_query():
