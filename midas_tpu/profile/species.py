@@ -176,14 +176,15 @@ class SpeciesProfiler:
             np.add.at(count, sp_j, 1)
             np.add.at(bp, sp_j, aln_j)
 
-        # normalize (species.py:141-163). total_cov is a sequential
-        # Python-float sum in species_info order — the reference sums a
-        # dict built in that order (species.py:158-160), and matching the
-        # accumulation order makes relative_abundance byte-identical
+        # normalize (species.py:141-163). total_cov must be the BUILTIN
+        # sum over species_info order: the reference computes
+        # `sum([_['cov'] for _ in species_abundance.values()])`
+        # (species.py:158) and CPython >= 3.12's float sum() is
+        # Neumaier-compensated — a naive += loop differs in the last
+        # ulp of relative_abundance (caught by the 250 bp golden test)
         cov = np.where(self.total_gene_length > 0, bp / np.maximum(self.total_gene_length, 1), 0.0)
-        total_cov = 0.0
-        for i in range(len(self.species_order)):
-            total_cov += float(cov[i])
+        total_cov = sum([float(cov[i])
+                         for i in range(len(self.species_order))])
         abundance = {}
         for i, sid in enumerate(self.species_order):
             abundance[sid] = {

@@ -176,3 +176,35 @@ def test_best_hits_150bp_reads(golden, tmp_path):
         f"only_ref={len(set(refs) - set(ours))}")
     mismatch = {q for q in refs if ours[q][1] != refs[q][1]}
     assert not mismatch, sorted(mismatch)[:3]
+
+
+def test_profile_byte_identical_250bp(golden, tmp_path):
+    """250 bp reads (bucket 256): full-length best-hit parity AND a
+    byte-identical species_profile.txt against the real pipeline."""
+    from midas_tpu.db.layout import Database
+    from midas_tpu.io.batch import detect_max_read_len
+    from midas_tpu.profile.species import SpeciesProfiler, write_abundance
+
+    db = golden["db"]
+    reads = str(tmp_path / "reads250.fq.gz")
+    simulate_reads(db, reads, n_reads=400, read_len=250,
+                   abundances=[0.35, 0.25, 0.2, 0.1, 0.1],
+                   error_rate=0.01, indel_rate=0.02, seed=31)
+    L = detect_max_read_len([reads])
+    assert L == 256
+    refout = str(tmp_path / "ref")
+    ref_profile = refmidas.run_reference_species(
+        db.db_dir, reads, refout, seed=42, tmpdir=str(tmp_path))
+    prof = SpeciesProfiler(Database(db.db_dir), seed=42, max_read_len=L)
+    our_m8 = str(tmp_path / "our.m8")
+    abun = prof.run(reads, batch_size=256, m8_path=our_m8)
+    assert prof.stats["total_bp"] == 400 * 250
+    ours = refmidas.parse_best_hits(our_m8, prof.cutoffs, prof.marker_info)
+    refs = refmidas.parse_best_hits(
+        os.path.join(refout, "species/temp/alignments.m8"),
+        prof.cutoffs, prof.marker_info)
+    assert set(ours) == set(refs)
+    assert all(ours[q][1] == refs[q][1] for q in refs)
+    our_profile = str(tmp_path / "profile.txt")
+    write_abundance(our_profile, abun)
+    assert open(our_profile, "rb").read() == open(ref_profile, "rb").read()
