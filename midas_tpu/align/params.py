@@ -7,8 +7,10 @@ presets; NM tag and MAPQ feed keep_read, midas/run/genes.py:153-169,
 snps.py:141-162). We define three explicit scoring personalities with
 the same downstream contract:
 
-- MARKER_SCORING: megablast-like (match +1 / mismatch -2), bitscore +
-  e-value via Karlin-Altschul, multi-hit reporting. Drives species
+- MARKER_SCORING: megablast (reward 1 / penalty -2 with LINEAR gap
+  costs of 2.5 per gap column, scaled x2 to stay integer: match 2,
+  mismatch -4, open 0, extend 5), bitscore + e-value via
+  Karlin-Altschul (lambda halved for the scaling). Drives species
   profiling exactly like the reference's m8 parsing.
 - GLOBAL_SCORING: bowtie2 end-to-end-like (all penalties <= 0, perfect
   read scores 0, min score -0.6-0.6*L). Drives SNP pileup mapping.

@@ -48,7 +48,7 @@ def species_parser(subs):
                    help="Trim reads to READ_LENGTH and discard reads with length < READ_LENGTH. By default, reads are not trimmed or filtered")
     p.add_argument("--profile", action="store_true", default=False,
                    help="Write an XLA profiler trace to "
-                        "<outdir>/species/temp/xla_trace")
+                        "<outdir>/species/xla_trace")
     p.add_argument("--seed", type=int, default=42,
                    help="RNG seed for probabilistic assignment of ambiguous reads (42)")
     return p
@@ -95,7 +95,7 @@ def _add_shared_align_args(p, mode_default):
                         "the mismatch error to a warning)")
     p.add_argument("--profile", action="store_true", default=False,
                    help="Write an XLA profiler trace to "
-                        "<outdir>/<program>/temp/xla_trace (view with "
+                        "<outdir>/<program>/xla_trace (view with "
                         "TensorBoard)")
     return p
 
@@ -376,7 +376,9 @@ def main(argv=None):
         # device-level complement of the per-stage wall/RSS prints
         import jax
 
-        trace_dir = os.path.join(args["outdir"], program, "temp/xla_trace")
+        # NOT under temp/ — --remove_temp deletes temp before the
+        # trace export in the finally block runs
+        trace_dir = os.path.join(args["outdir"], program, "xla_trace")
         jax.profiler.start_trace(trace_dir)
         tracing = True
         log.write(f"xla trace: {trace_dir}\n")

@@ -131,6 +131,19 @@ def _allgather_rows(rows: np.ndarray) -> np.ndarray:
     return np.concatenate([g[p, : int(counts[p])] for p in range(len(counts))])
 
 
+def _barrier(tag: str) -> None:
+    """Cross-host barrier AFTER rank 0 writes outputs: without it a
+    later pipeline stage on another rank can race the write on a shared
+    filesystem (read a missing or torn species profile) while rank 0
+    blocks in that stage's first collective."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils as mh
+
+        mh.sync_global_devices(tag)
+
+
 def _make_local_profiler(cls_single, cls_dist, db, species_ids, tp, kw):
     import jax
 
@@ -197,6 +210,7 @@ def run_genes_multihost(
     results = prof._finalize(host)
     if outdir is not None and pid == 0:
         prof.write_results(outdir)
+    _barrier("genes-outputs")
     return results
 
 
@@ -246,6 +260,7 @@ def run_snps_multihost(
     results = prof._finalize(host)
     if outdir is not None and pid == 0:
         prof.write_results(outdir)
+    _barrier("snps-outputs")
     return results
 
 
@@ -253,7 +268,7 @@ def run_species_multihost(
     db, read_paths, outdir: Optional[str] = None,
     tp: int = 1, batch_size: int = 8192,
     read_length: Optional[int] = None, max_reads: Optional[int] = None,
-    seed: int = 42, **profiler_kw,
+    seed: int = 42, checkpoint_path: Optional[str] = None, **profiler_kw,
 ) -> Dict:
     """Species profile over every host's local chips; returns the
     abundance dict (identical on all hosts). Rank 0 writes
@@ -270,7 +285,9 @@ def run_species_multihost(
     if isinstance(read_paths, str):
         read_paths = [read_paths]
 
-    if tp > 1:
+    if tp > 1 or len(jax.local_devices()) > 1:
+        # use every LOCAL chip (dp over the host's devices), not just
+        # one — mirrors _make_local_profiler for genes/snps
         from midas_tpu.dist.sharded import make_mesh
         from midas_tpu.dist.species import DistributedSpeciesProfiler
 
@@ -284,7 +301,8 @@ def run_species_multihost(
                              max_reads=max_reads)
 
     unique_count, unique_bp, ambiguous = prof._run_device(
-        my_paths, read_length, max_reads, batch_size)
+        my_paths, read_length, max_reads, batch_size,
+        checkpoint_path=checkpoint_path)
     unique_count, unique_bp, ambiguous, prof.stats = (
         merge_species_accumulators(unique_count, unique_bp, ambiguous,
                                    prof.stats))
@@ -297,4 +315,5 @@ def run_species_multihost(
                   "w") as f:
             f.write(f"{prof.stats['total_reads']}\t"
                     f"{prof.stats['total_bp']}")
+    _barrier("species-outputs")
     return abundance

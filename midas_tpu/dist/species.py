@@ -238,13 +238,17 @@ class DistributedSpeciesProfiler(SpeciesProfiler):
         if checkpoint_path:
             from midas_tpu.profile import checkpoint as ckpt
 
+            import jax as _jax
+
             fp = ckpt.fingerprint(
                 kind="species-dist", schema=2,
                 paths=list(map(str, np.atleast_1d(read_paths))),
                 read_length=read_length, max_reads=max_reads,
                 batch_size=batch_size, aln_cov=self.aln_cov,
+                cutoffs=sorted(self.cutoffs.items()),
                 num_cands=al.seed_params.num_cands, cap=cap,
-                tp=self.tp, dp=self.dp)
+                tp=self.tp, dp=self.dp,
+                process=_jax.process_index())
             got = ckpt.load(checkpoint_path, fp)
             if got is not None:
                 arrays, meta = got

@@ -32,9 +32,17 @@ def resolve_species_list(
             species_topn=args.get("species_topn"),
             species_id=args.get("species_id"),
         )
-        with open(splist, "w") as f:
-            for sid in ids:
-                f.write(sid + "\n")
+        # only rank 0 of a multi-host job persists the list (every rank
+        # computes the same ids; concurrent writes to a shared FS race)
+        try:
+            import jax
+            rank0 = jax.process_index() == 0
+        except Exception:
+            rank0 = True
+        if rank0:
+            with open(splist, "w") as f:
+                for sid in ids:
+                    f.write(sid + "\n")
         return ids
     if os.path.isfile(splist):
         with open(splist) as f:

@@ -291,9 +291,16 @@ def run_genes(args: Dict) -> GenesProfiler:
 
     import jax
 
-    if jax.process_count() > 1 and scan_paths:
-        # multi-host job: full align+cov via the distributed driver
-        # (stage splits/checkpoints are single-host features)
+    if jax.process_count() > 1:
+        # multi-host job: the distributed driver always runs the FULL
+        # align+cov pipeline; stage splits / checkpoints / --align-only
+        # are single-host features and partial invocations error out
+        # rather than silently doing more (or less) than asked
+        if not (args.get("build_db") and args.get("align")
+                and args.get("cov")):
+            sys.exit("\nError: multi-host genes runs the full pipeline; "
+                     "--build_db/--align/--call_genes stage splits are "
+                     "single-host features\n")
         from midas_tpu.dist.driver import run_genes_multihost
 
         paired = bool(args.get("m2")) or bool(args.get("interleaved"))
@@ -301,7 +308,7 @@ def run_genes(args: Dict) -> GenesProfiler:
                 f"Profiling pangenomes over {jax.process_count()} hosts",
                 log):
             run_genes_multihost(
-                args["db"], scan_paths, species_ids, outdir=outdir,
+                db, scan_paths, species_ids, outdir=outdir,
                 max_reads=args.get("max_reads"), trim=args.get("trim", 0),
                 paired=paired, interleaved=bool(args.get("interleaved")),
                 read_length=args.get("read_length"),

@@ -299,16 +299,22 @@ def run_snps(args: Dict) -> SnpsProfiler:
 
     import jax
 
-    if jax.process_count() > 1 and scan_paths:
-        # multi-host job: full align+pileup via the distributed driver
-        # (stage splits/checkpoints are single-host features)
+    if jax.process_count() > 1:
+        # multi-host job: the distributed driver always runs the FULL
+        # align+pileup pipeline; stage splits / checkpoints are
+        # single-host features and partial invocations error out
+        if not (args.get("build_db") and args.get("align")
+                and args.get("call")):
+            sys.exit("\nError: multi-host snps runs the full pipeline; "
+                     "--build_db/--align/--pileup stage splits are "
+                     "single-host features\n")
         from midas_tpu.dist.driver import run_snps_multihost
 
         paired = bool(args.get("m2")) or bool(args.get("interleaved"))
         with stage_timer(
                 f"Pileup over {jax.process_count()} hosts", log):
             run_snps_multihost(
-                args["db"], scan_paths, species_ids, outdir=outdir,
+                db, scan_paths, species_ids, outdir=outdir,
                 max_reads=args.get("max_reads"), trim=args.get("trim", 0),
                 paired=paired, interleaved=bool(args.get("interleaved")),
                 read_length=args.get("read_length"),

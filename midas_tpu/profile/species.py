@@ -307,6 +307,7 @@ class SpeciesProfiler:
                 paths=list(map(str, np.atleast_1d(read_paths))),
                 read_length=read_length, max_reads=max_reads,
                 batch_size=batch_size, aln_cov=self.aln_cov,
+                cutoffs=sorted(self.cutoffs.items()),
                 num_cands=al.seed_params.num_cands, cap=cap)
             got = ckpt.load(checkpoint_path, fp)
             if got is not None:
@@ -507,18 +508,31 @@ def run_species(args: Dict) -> Dict:
         # mpirun, ...): route to the multi-host driver — each host
         # streams a read shard, one end-of-stream collective merge,
         # rank 0 writes (dist/driver.py)
+        if args.get("m8"):
+            sys.exit("\nError: --m8 requires per-read host readback and "
+                     "is a single-host feature\n")
         from midas_tpu.dist.driver import run_species_multihost
 
+        pid = jax.process_index()
         with stage_timer(
                 f"Profiling species over {jax.process_count()} hosts", log):
-            return run_species_multihost(
+            abundance = run_species_multihost(
                 args["db"], paths, outdir=outdir,
                 read_length=args.get("read_length"),
                 max_reads=args.get("max_reads"),
                 seed=args.get("seed", 42), mapid=args.get("mapid"),
                 aln_cov=args.get("aln_cov", 0.75),
+                checkpoint_path=os.path.join(
+                    outdir, f"species/temp/state.rank{pid}.npz"),
                 max_read_len=detect_max_read_len(paths,
                                                  args.get("read_length")))
+        if args.get("remove_temp") and pid == 0:
+            # the driver barriers after rank 0's writes, so this runs
+            # only once every rank is done with temp/
+            import shutil
+            shutil.rmtree(os.path.join(outdir, "species/temp"),
+                          ignore_errors=True)
+        return abundance
 
     with stage_timer("Loading marker-gene database", log):
         db = Database(args["db"])
