@@ -18,7 +18,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from midas_tpu.align.params import LOCAL_SCORING
+from midas_tpu.align.params import GLOBAL_SCORING, LOCAL_SCORING
 from midas_tpu.align.pipeline import Aligner
 from midas_tpu.align.seed import SeedParams
 from midas_tpu.db.index import build_seed_index
@@ -40,10 +40,15 @@ class GenesProfiler:
         aln_cov: float = 0.75,
         seed_params: Optional[SeedParams] = None,
         max_read_len: int = 128,
+        mode: str = "local",
     ):
         self.db = db
         self.species_ids = list(species_ids)
         self.mapid, self.readq, self.mapq, self.aln_cov = mapid, readq, mapq, aln_cov
+        # the reference's -m local/global flag picks the bowtie2
+        # personality (local default for pangenome CNV mapping,
+        # midas/run/genes.py:116-145)
+        self.mode = mode
         # per-run pangenome pack over selected species (genes.py:84-114)
         self.pack = pack_from_fasta([db.pangenome_fasta(s) for s in self.species_ids])
         sp_index = {s: i for i, s in enumerate(self.species_ids)}
@@ -68,7 +73,8 @@ class GenesProfiler:
         self.n_markers = len(marker_ids)
         sp = seed_params or SeedParams(num_cands=4)
         self.index = build_seed_index(self.pack, k=sp.k)
-        self.aligner = Aligner(self.pack, self.index, LOCAL_SCORING, sp,
+        scoring = LOCAL_SCORING if mode == "local" else GLOBAL_SCORING
+        self.aligner = Aligner(self.pack, self.index, scoring, sp,
                                max_read_len=max_read_len)
 
     def run(self, read_paths, max_reads=None, trim=0, batch_size: int = 8192,
@@ -125,7 +131,7 @@ class GenesProfiler:
             state = ds.genes_update(
                 state, al.index_arrays, al.pack_arrays,
                 G, codes, lengths, mean_qual, n_reads,
-                scoring=LOCAL_SCORING, seed_params=al.seed_params,
+                scoring=al.scoring, seed_params=al.seed_params,
                 max_len=al.max_read_len, mapid=float(self.mapid),
                 readq=float(self.readq), min_mapq=int(self.mapq),
                 aln_cov=float(self.aln_cov), paired=bool(paired))
@@ -145,7 +151,7 @@ class GenesProfiler:
         a later --call_genes stage verifies these instead of the stream
         fingerprint (checkpoint.load_guarded)."""
         return dict(kind="genes", mapid=self.mapid, readq=self.readq,
-                    mapq=self.mapq, aln_cov=self.aln_cov,
+                    mapq=self.mapq, aln_cov=self.aln_cov, mode=self.mode,
                     species=list(self.species_ids),
                     num_seqs=int(self.pack.num_seqs))
 
@@ -314,6 +320,7 @@ def run_genes(args: Dict) -> GenesProfiler:
                 read_length=args.get("read_length"),
                 mapid=args.get("mapid", 94.0), readq=args.get("readq", 20.0),
                 mapq=args.get("mapq", 0), aln_cov=args.get("aln_cov", 0.75),
+                mode=args.get("mode", "local"),
                 max_read_len=detect_max_read_len(scan_paths,
                                                  args.get("read_length")))
         return None
@@ -323,6 +330,7 @@ def run_genes(args: Dict) -> GenesProfiler:
             db, species_ids,
             mapid=args.get("mapid", 94.0), readq=args.get("readq", 20.0),
             mapq=args.get("mapq", 0), aln_cov=args.get("aln_cov", 0.75),
+            mode=args.get("mode", "local"),
             max_read_len=detect_max_read_len(scan_paths,
                                              args.get("read_length"))
             if scan_paths else 128,

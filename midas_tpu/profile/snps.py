@@ -24,7 +24,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from midas_tpu.align.oracle import align_oracle_batch
-from midas_tpu.align.params import GLOBAL_SCORING
+from midas_tpu.align.params import GLOBAL_SCORING, LOCAL_SCORING
 from midas_tpu.align.pipeline import Aligner
 from midas_tpu.align.seed import SeedParams
 from midas_tpu.db.index import build_seed_index
@@ -47,10 +47,14 @@ class SnpsProfiler:
         aln_cov: float = 0.75,
         seed_params: Optional[SeedParams] = None,
         max_read_len: int = 128,
+        mode: str = "global",
     ):
         self.db = db
         self.species_ids = list(species_ids)
         self.mapid, self.readq, self.mapq = mapid, readq, mapq
+        # the reference's -m global/local flag (global default for
+        # rep-genome SNP mapping, midas/run/snps.py:97-128)
+        self.mode = mode
         self.baseq, self.aln_cov = baseq, aln_cov
         self.pack = pack_from_fasta([db.rep_genome_fasta(s) for s in self.species_ids])
         # contig -> species from per-file contig counts
@@ -63,7 +67,8 @@ class SnpsProfiler:
         assert cursor == self.pack.num_seqs
         sp = seed_params or SeedParams(num_cands=4)
         self.index = build_seed_index(self.pack, k=sp.k)
-        self.aligner = Aligner(self.pack, self.index, GLOBAL_SCORING, sp,
+        scoring = GLOBAL_SCORING if mode == "global" else LOCAL_SCORING
+        self.aligner = Aligner(self.pack, self.index, scoring, sp,
                                max_read_len=max_read_len)
 
     def run(self, read_paths, max_reads=None, trim=0, batch_size: int = 8192,
@@ -139,7 +144,7 @@ class SnpsProfiler:
             state = ds.snps_update(
                 state, al.index_arrays, al.pack_arrays,
                 contig_species, codes, quals, lengths, mean_qual, n_reads,
-                scoring=GLOBAL_SCORING, seed_params=al.seed_params,
+                scoring=al.scoring, seed_params=al.seed_params,
                 max_len=L, mapid=float(self.mapid), readq=float(self.readq),
                 min_mapq=int(self.mapq), baseq=int(self.baseq),
                 aln_cov=float(self.aln_cov), paired=bool(paired))
@@ -162,6 +167,7 @@ class SnpsProfiler:
         checkpoint.load_guarded)."""
         return dict(kind="snps", mapid=self.mapid, readq=self.readq,
                     mapq=self.mapq, baseq=self.baseq, aln_cov=self.aln_cov,
+                    mode=self.mode,
                     species=list(self.species_ids),
                     total_len=int(self.pack.total_len))
 
@@ -203,7 +209,7 @@ class SnpsProfiler:
             windows.append(self.pack.codes[lo:hi])
             los.append(lo)
         for r, a in enumerate(align_oracle_batch(queries, windows,
-                                                 GLOBAL_SCORING)):
+                                                 self.aligner.scoring)):
             qlen = len(queries[r])
             m = a.qpos_to_tpos(qlen)
             qpos = np.flatnonzero(m >= 0)
@@ -321,6 +327,7 @@ def run_snps(args: Dict) -> SnpsProfiler:
                 mapid=args.get("mapid", 94.0), readq=args.get("readq", 20.0),
                 mapq=args.get("mapq", 20), baseq=args.get("baseq", 30),
                 aln_cov=args.get("aln_cov", 0.75),
+                mode=args.get("mode", "global"),
                 max_read_len=detect_max_read_len(scan_paths,
                                                  args.get("read_length")))
         return None
@@ -331,6 +338,7 @@ def run_snps(args: Dict) -> SnpsProfiler:
             mapid=args.get("mapid", 94.0), readq=args.get("readq", 20.0),
             mapq=args.get("mapq", 20), baseq=args.get("baseq", 30),
             aln_cov=args.get("aln_cov", 0.75),
+            mode=args.get("mode", "global"),
             max_read_len=detect_max_read_len(scan_paths,
                                              args.get("read_length"))
             if scan_paths else 128,

@@ -328,3 +328,21 @@ def test_dist_species_checkpoint_resume(sim_community, sim_reads, tmp_path):
     prof4.stats = dict(prof3.stats)
     got4 = prof4.assign_and_normalize(uc4, ub4, amb4)
     assert got4 == want
+
+
+def test_mode_flag_switches_alignment_personality(sim_community):
+    """The reference honors -m local/global for genes and snps
+    (midas/run/genes.py:116-145, snps.py:97-128); ours now does too
+    instead of silently ignoring the flag."""
+    from midas_tpu.db import Database
+    from midas_tpu.profile.genes import GenesProfiler
+    from midas_tpu.profile.snps import SnpsProfiler
+
+    db = Database(sim_community.db_dir)
+    sids = sim_community.species_ids()[:1]
+    assert GenesProfiler(db, sids).aligner.scoring.mode == "local"
+    assert GenesProfiler(db, sids,
+                         mode="global").aligner.scoring.mode == "glocal"
+    assert SnpsProfiler(db, sids).aligner.scoring.mode == "glocal"
+    assert SnpsProfiler(db, sids,
+                        mode="local").aligner.scoring.mode == "local"
