@@ -136,6 +136,14 @@ def snps_parser(subs):
                    help="Discard reads with alignment coverage < ALN_COV (0.75)")
     s.add_argument("--trim", metavar="INT", type=int, default=0,
                    help="Trim N base-pairs from 3'/right end of read")
+    # accepted for compatibility: the reference parses these but never
+    # passes them to pysam (scripts/run_midas.py:422-427 — vestigial)
+    s.add_argument("--discard", default=False, action="store_true",
+                   help="Accepted for compatibility (vestigial in the reference)")
+    s.add_argument("--baq", default=False, action="store_true",
+                   help="Accepted for compatibility (vestigial in the reference)")
+    s.add_argument("--adjust_mq", default=False, action="store_true",
+                   help="Accepted for compatibility (vestigial in the reference)")
     return p
 
 
