@@ -120,7 +120,8 @@ def main():
         codes, _q, lengths, _mq, n = d
         return ds.species_update(
             state, sal.index_arrays, sal.pack_arrays, seq_species,
-            seq_cutoff, codes, lengths, n, scoring=sal.scoring,
+            seq_cutoff, codes, lengths, n, jnp.int32(0),
+            scoring=sal.scoring,
             seed_params=sal.seed_params, max_len=sal.max_read_len,
             aln_cov=0.75, n_species=n_species)
 
@@ -164,6 +165,25 @@ def main():
     results["pileup_sites_per_sec"] = sites / dt
     results["snps_device_reads_per_sec"] = snp_dev_reads / dt
 
+    # --- Mb-scale reality check (SCALE_BENCH.md config 1, trimmed) -------
+    # The toy community above has 40 kb genomes; the number that matters
+    # for the SNP pipeline is the Mb-scale one (the [4 x G] readback is
+    # the historical bottleneck), so the driver-recorded bench carries a
+    # 500-species / 100 kb-genome / 20-selected config too.
+    scale = {}
+    try:
+        from bench_scale import run_scale
+
+        s = run_scale(n_species=500, genome_len=100000, n_sel=20,
+                      n_reads=32768, batch=BATCH, audit=False)
+        for k in ("marker_reads_per_sec", "pangenome_reads_per_sec",
+                  "snps_reads_per_sec", "rep_pack_mb", "n_reads"):
+            scale[f"scale_{k}"] = s[k]
+        scale["scale_snps_vs_baseline"] = round(
+            s["snps_reads_per_sec"] / REF_SNPS_READS_PER_SEC, 2)
+    except Exception as e:  # noqa: BLE001 - bench must still report
+        scale["scale_error"] = repr(e)[:200]
+
     value = results["marker_reads_per_sec"]
     print(json.dumps({
         "metric": "marker-gene aligned reads/sec/chip (end-to-end)",
@@ -183,6 +203,7 @@ def main():
             "snps_device_reads_per_sec": round(
                 results["snps_device_reads_per_sec"], 1),
             "n_reads": N_READS,
+            **scale,
             "platform": _platform(),
         },
     }))

@@ -41,9 +41,8 @@ def nbytes(tree) -> int:
     return total
 
 
-def main():
+def setup_jax_cache():
     import jax
-    import jax.numpy as jnp
 
     jax.config.update(
         "jax_compilation_cache_dir",
@@ -52,16 +51,20 @@ def main():
                                     ".cache/midas_tpu/jax")))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+
+def run_scale(n_species: int = 500, genome_len: int = 100000,
+              n_sel: int = 20, extra: int = 0, n_reads: int = N_READS,
+              batch: int = BATCH, audit: bool = True) -> dict:
+    """One scale configuration end to end; returns the metrics dict.
+    audit=False skips the tie-width / cap audit passes (used by
+    bench.py to fold a trimmed scale line into the driver bench)."""
+    import jax
+
     from midas_tpu.db import Database
     from midas_tpu.profile.genes import GenesProfiler
     from midas_tpu.profile.snps import SnpsProfiler
     from midas_tpu.profile.species import SpeciesProfiler
     from midas_tpu.testkit import simulate_db, simulate_reads
-
-    n_species = int(os.environ.get("SCALE_SPECIES", "500"))
-    genome_len = int(os.environ.get("SCALE_GENOME", "100000"))
-    n_sel = int(os.environ.get("SCALE_SELECTED", "20"))
-    extra = int(os.environ.get("SCALE_EXTRA_GENES", "0"))
 
     tmp = tempfile.mkdtemp(prefix="midas_scale_")
     t0 = time.time()
@@ -74,32 +77,38 @@ def main():
     fq = os.path.join(tmp, "reads.fq.gz")
     # reads drawn from the first n_sel species (the abundant community)
     abund = [1.0 / n_sel] * n_sel + [0.0] * (len(comm.species) - n_sel)
-    simulate_reads(comm, fq, n_reads=N_READS, read_len=100,
+    simulate_reads(comm, fq, n_reads=n_reads, read_len=100,
                    error_rate=0.005, indel_rate=0.01, seed=7,
                    abundances=abund)
     out = dict(n_species=n_species, genome_len=genome_len,
-               n_selected=n_sel, sim_secs=round(t_sim, 1))
+               n_selected=n_sel, n_reads=n_reads, sim_secs=round(t_sim, 1))
 
     # --- species at full DB scale ---------------------------------------
+    # warm runs cover the FULL stream: a short warm run picks different
+    # spill-readback bucket shapes than the timed run, so the timed
+    # region silently paid a fresh XLA compile (measured: 40k "reads/s"
+    # one-shot vs 89k warmed at 500 species)
     prof = SpeciesProfiler(db)
     out["marker_pack_mb"] = round(prof.pack.total_len / 1e6, 1)
     out["marker_hbm_mb"] = round(
         (nbytes(prof.aligner.index_arrays)
          + nbytes(prof.aligner.pack_arrays)) / 2**20, 1)
-    prof.run([fq], max_reads=BATCH, batch_size=BATCH)   # warm
+    prof.run([fq], batch_size=batch)   # warm (full stream)
     t0 = time.time()
-    prof.run([fq], batch_size=BATCH)
-    out["marker_reads_per_sec"] = round(N_READS / (time.time() - t0), 1)
-    # tie-width audit: how wide are ambiguous tie sets vs num_cands?
-    uc, ub, amb = prof._run_device([fq], None, None, BATCH)
-    C = prof.aligner.seed_params.num_cands
-    widths = np.array([len(s) for _q, s, _a in amb], dtype=np.int64)
-    out["amb_rate"] = round(len(amb) / prof.stats["total_reads"], 4)
-    out["amb_tie_width_p99"] = int(np.percentile(widths, 99)) if len(widths) else 0
-    out["amb_tie_width_max"] = int(widths.max()) if len(widths) else 0
-    out["amb_tie_at_cap_frac"] = round(
-        float((widths >= C).mean()), 4) if len(widths) else 0.0
-    out["num_cands"] = C
+    prof.run([fq], batch_size=batch)
+    out["marker_reads_per_sec"] = round(n_reads / (time.time() - t0), 1)
+    if audit:
+        # tie-width audit: how wide are ambiguous tie sets vs num_cands?
+        uc, ub, amb = prof._run_device([fq], None, None, batch)
+        C = prof.aligner.seed_params.num_cands
+        widths = np.array([len(t[1]) for t in amb], dtype=np.int64)
+        out["amb_rate"] = round(len(amb) / prof.stats["total_reads"], 4)
+        out["amb_tie_width_p99"] = (int(np.percentile(widths, 99))
+                                    if len(widths) else 0)
+        out["amb_tie_width_max"] = int(widths.max()) if len(widths) else 0
+        out["amb_tie_at_cap_frac"] = round(
+            float((widths >= C).mean()), 4) if len(widths) else 0.0
+        out["num_cands"] = C
 
     # --- genes over the selected community -------------------------------
     sel = comm.species_ids()[:n_sel]
@@ -109,10 +118,10 @@ def main():
     out["pangenome_hbm_mb"] = round(
         (nbytes(gprof.aligner.index_arrays)
          + nbytes(gprof.aligner.pack_arrays)) / 2**20, 1)
-    gprof.run([fq], max_reads=BATCH, batch_size=BATCH)
+    gprof.run([fq], batch_size=batch)   # warm (full stream)
     t0 = time.time()
-    gprof.run([fq], batch_size=BATCH)
-    out["pangenome_reads_per_sec"] = round(N_READS / (time.time() - t0), 1)
+    gprof.run([fq], batch_size=batch)
+    out["pangenome_reads_per_sec"] = round(n_reads / (time.time() - t0), 1)
 
     # --- snps over the selected community --------------------------------
     sprof = SnpsProfiler(db, sel)
@@ -121,17 +130,31 @@ def main():
         (nbytes(sprof.aligner.index_arrays)
          + nbytes(sprof.aligner.pack_arrays)
          + 4 * 4 * (sprof.pack.total_len + 1)) / 2**20, 1)  # + counts
-    sprof.run([fq], max_reads=BATCH, batch_size=BATCH)
+    sprof.run([fq], batch_size=batch)   # warm (full stream)
     t0 = time.time()
-    res = sprof.run([fq], batch_size=BATCH)
-    out["snps_reads_per_sec"] = round(N_READS / (time.time() - t0), 1)
-    out["gap_rate"] = round(res["n_gapped"] / N_READS, 5)
-    out["gap_cap_default"] = int(os.environ.get("MIDAS_TPU_GAP_CAP", "131072"))
-    out["gap_reads_at_default_cap_capacity"] = int(
-        out["gap_cap_default"] / max(out["gap_rate"], 1e-9))
+    res = sprof.run([fq], batch_size=batch)
+    out["snps_reads_per_sec"] = round(n_reads / (time.time() - t0), 1)
+    out["gap_rate"] = round(res["n_gapped"] / n_reads, 5)
+    if audit:
+        out["gap_cap_default"] = int(os.environ.get("MIDAS_TPU_GAP_CAP",
+                                                    "131072"))
+        out["gap_reads_at_default_cap_capacity"] = int(
+            out["gap_cap_default"] / max(out["gap_rate"], 1e-9))
 
     d = jax.devices()[0]
     out["platform"] = f"{d.platform}:{getattr(d, 'device_kind', '?')}"
+    return out
+
+
+def main():
+    setup_jax_cache()
+    out = run_scale(
+        n_species=int(os.environ.get("SCALE_SPECIES", "500")),
+        genome_len=int(os.environ.get("SCALE_GENOME", "100000")),
+        n_sel=int(os.environ.get("SCALE_SELECTED", "20")),
+        extra=int(os.environ.get("SCALE_EXTRA_GENES", "0")),
+        n_reads=int(os.environ.get("SCALE_READS", str(N_READS))),
+    )
     print(json.dumps(out))
 
 

@@ -59,12 +59,21 @@ def banded_align(
     ref_win: jnp.ndarray,  # [P, W] int8 codes, W = L + band_width - 1
     params: ScoringParams,
     band_width: int = 16,
+    qpen: jnp.ndarray = None,  # [P, L] positive per-base mismatch
+    #                            penalties (bowtie2 --mp quality table,
+    #                            params.mismatch_penalty); None = flat
 ) -> Dict[str, jnp.ndarray]:
     """Align each query against its reference window inside a band.
 
     Returns per-pair arrays: score, qstart, qend, wstart, wend (window
     coords), matches, mismatches, gap_cols, gap_opens. For pairs where
     no alignment exists (local mode, all-negative), score stays <= 0.
+
+    With qpen, mismatch columns cost the per-query-base quality-scaled
+    penalty; a read-N column (query code >= 4) costs params.n_pen and a
+    ref code-4 column costs -params.mismatch (see ScoringParams
+    docstring for the bowtie2 --mp/--np semantics and the ref-N
+    deviation).
     """
     P, L = query.shape
     D = band_width
@@ -72,6 +81,7 @@ def banded_align(
     local = params.mode == "local"
     ma, mi = float(params.match), float(params.mismatch)
     go_c, ge = float(params.gap_open), float(params.gap_extend)
+    npen = float(params.n_pen)
 
     d_row = jnp.arange(D, dtype=jnp.float32)[None, :]           # [1, D]
     d_full = jnp.broadcast_to(d_row, (P, D))
@@ -97,7 +107,14 @@ def banded_align(
         q_i = jax.lax.dynamic_slice_in_dim(query, i, 1, axis=1)      # [P,1]
         r_i = jax.lax.dynamic_slice_in_dim(ref_win, i, D, axis=1)    # [P,D]
         is_match = ((q_i == r_i) & (q_i < 4) & (r_i < 4)).astype(jnp.float32)
-        sub = jnp.where(is_match > 0, ma, mi)
+        if qpen is None:
+            sub = jnp.where(is_match > 0, ma, mi)
+        else:
+            qp_i = jax.lax.dynamic_slice_in_dim(
+                qpen, i, 1, axis=1).astype(jnp.float32)              # [P,1]
+            pen = jnp.where(q_i >= 4, npen,
+                            jnp.where(r_i >= 4, -mi, qp_i))
+            sub = jnp.where(is_match > 0, ma, -pen)
 
         # stats of a path starting with a diagonal move at row i, offset d
         fresh_st = jnp.concatenate([

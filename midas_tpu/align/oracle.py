@@ -81,15 +81,22 @@ def align_oracle(
     query: np.ndarray,
     target: np.ndarray,
     params: ScoringParams,
+    qpen: Optional[np.ndarray] = None,
 ) -> Optional[OracleAlignment]:
     """Full DP alignment of query vs target codes. Returns None when no
-    positive-score local alignment exists (local mode only)."""
+    positive-score local alignment exists (local mode only).
+
+    qpen: optional [len(query)] positive per-base mismatch penalties
+    (bowtie2 --mp quality scaling, params.mismatch_penalty); a read-N
+    column costs params.n_pen and a ref code-4 column -params.mismatch
+    (same rules as the device kernels — ScoringParams docstring)."""
     q = np.asarray(query, dtype=np.int64)
     t = np.asarray(target, dtype=np.int64)
     n, m = len(q), len(t)
     local = params.mode == "local"
     ma, mi = params.match, params.mismatch
     go, ge = params.gap_open, params.gap_extend
+    npen = params.n_pen
 
     H = np.full((n + 1, m + 1), NEG, dtype=np.int64)
     E = np.full((n + 1, m + 1), NEG, dtype=np.int64)  # del: consumes target
@@ -112,7 +119,16 @@ def align_oracle(
 
     for i in range(1, n + 1):
         for j in range(1, m + 1):
-            sub = ma if (q[i - 1] == t[j - 1] and q[i - 1] < 4 and t[j - 1] < 4) else mi
+            if q[i - 1] == t[j - 1] and q[i - 1] < 4 and t[j - 1] < 4:
+                sub = ma
+            elif qpen is None:
+                sub = mi
+            elif q[i - 1] >= 4:
+                sub = -npen
+            elif t[j - 1] >= 4:
+                sub = mi
+            else:
+                sub = -int(qpen[i - 1])
             diag = H[i - 1, j - 1] + sub
             # E: gap consuming target (deletion), from the left
             e_ext = E[i, j - 1] - ge
@@ -227,7 +243,8 @@ def _finish(q, t, H, Hdir, Edir, Fdir, local) -> Optional[OracleAlignment]:
     )
 
 
-def align_oracle_batch(queries, targets, params: ScoringParams):
+def align_oracle_batch(queries, targets, params: ScoringParams,
+                       qpens=None):
     """Batched oracle: identical semantics to align_oracle for every
     (query, target) pair, with the DP fill vectorized across the batch
     and along anti-diagonal wavefronts (the per-cell Python loop above
@@ -237,6 +254,8 @@ def align_oracle_batch(queries, targets, params: ScoringParams):
     tests/test_oracle.py::test_batch_oracle_matches_scalar).
 
     queries/targets: sequences of int8 code arrays (ragged).
+    qpens: optional sequence of per-query positive mismatch-penalty
+    arrays (align_oracle's qpen, same N rules).
     Returns a list of Optional[OracleAlignment], one per pair."""
     R = len(queries)
     if R == 0:
@@ -244,11 +263,17 @@ def align_oracle_batch(queries, targets, params: ScoringParams):
     local = params.mode == "local"
     ma, mi = params.match, params.mismatch
     go, ge = params.gap_open, params.gap_extend
+    npen = params.n_pen
     ns = np.array([len(q) for q in queries])
     ms = np.array([len(t) for t in targets])
     N, M = int(ns.max()), int(ms.max())
     qpad = np.full((R, N), 4, dtype=np.int64)
     tpad = np.full((R, M), 4, dtype=np.int64)
+    qpen_pad = None
+    if qpens is not None:
+        qpen_pad = np.full((R, N), -mi, dtype=np.int64)
+        for r, qp in enumerate(qpens):
+            qpen_pad[r, : len(qp)] = np.asarray(qp, dtype=np.int64)
     for r, (q, t) in enumerate(zip(queries, targets)):
         qpad[r, : len(q)] = np.asarray(q, dtype=np.int64)
         tpad[r, : len(t)] = np.asarray(t, dtype=np.int64)

@@ -61,18 +61,29 @@ def _shift_planes(planes, shift, fill=0.0):
 
 
 def _make_kernel(L: int, D: int, local: bool, ma: float, mi: float,
-                 go_c: float, ge: float, n_stats: int = N_STATS):
+                 go_c: float, ge: float, n_stats: int = N_STATS,
+                 qual_pen: bool = False, npen: float = 1.0):
     """n_stats=6: full statistics (matches, mismatches, gap_cols,
     gap_opens, qstart, wstart). n_stats=1: score-only mode carrying just
     the wstart plane — enough for best-hit selection, MAPQ, and the
     duplicate-alignment drop, at a fraction of the VMEM traffic (the
     two-pass path in align/pipeline.py runs this over every candidate
-    and the full kernel only over each read's chosen candidate)."""
+    and the full kernel only over each read's chosen candidate).
+
+    qual_pen=True adds a 4th input: per-(query-row, lane) positive
+    mismatch penalties (bowtie2 --mp quality scaling); read-N columns
+    cost npen and ref code-4 columns cost -mi (ScoringParams
+    docstring)."""
     score_only = n_stats == 1
 
-    def kernel(q_ref, qlen_ref, ref_ref, out_ref,
-               qf_ref, rf_ref, H_ref, Hf_ref, Hst_ref, I_ref, Ist_ref,
-               best_ref):
+    def kernel(q_ref, qlen_ref, ref_ref, *rest):
+        if qual_pen:
+            (qp_ref, out_ref, qf_ref, rf_ref, qpf_ref, H_ref, Hf_ref,
+             Hst_ref, I_ref, Ist_ref, best_ref) = rest
+        else:
+            (out_ref, qf_ref, rf_ref, H_ref, Hf_ref, Hst_ref, I_ref,
+             Ist_ref, best_ref) = rest
+            qp_ref = qpf_ref = None
         d_col = jax.lax.broadcasted_iota(jnp.int32, (D, LANES), 0).astype(jnp.float32)
         qlens_f = qlen_ref[0:1, :].astype(jnp.float32)   # [1, 128]
         zero = jnp.zeros((D, LANES), jnp.float32)
@@ -81,6 +92,8 @@ def _make_kernel(L: int, D: int, local: bool, ma: float, mi: float,
         # tiling); widen once into f32 scratch and slice from there
         qf_ref[:, :] = q_ref[:, :].astype(jnp.float32)
         rf_ref[:, :] = ref_ref[:, :].astype(jnp.float32)
+        if qual_pen:
+            qpf_ref[:, :] = qp_ref[:, :].astype(jnp.float32)
         # init DP state
         H_ref[:, :] = zero
         Hf_ref[:, :] = zero + 1.0
@@ -110,7 +123,13 @@ def _make_kernel(L: int, D: int, local: bool, ma: float, mi: float,
             r_i = rf_ref[pl.ds(i, D), :]                 # [D, 128] f32
             is_match = ((q_i == r_i) & (q_i < 4.0) & (r_i < 4.0)
                         ).astype(jnp.float32)
-            sub = jnp.where(is_match > 0, ma, mi)
+            if qual_pen:
+                qp_i = qpf_ref[pl.ds(i, 1), :]           # [1, 128] f32
+                pen = jnp.where(q_i >= 4.0, npen,
+                                jnp.where(r_i >= 4.0, -mi, qp_i))
+                sub = jnp.where(is_match > 0, ma, -pen)
+            else:
+                sub = jnp.where(is_match > 0, ma, mi)
 
             # stats of a path starting with a diagonal move at row i
             if score_only:
@@ -258,6 +277,7 @@ def pallas_banded_align(
     band_width: int = 16,
     interpret: bool = False,
     score_only: bool = False,
+    qpen: jnp.ndarray = None,   # [P, L] int8 positive mismatch penalties
 ) -> Dict[str, jnp.ndarray]:
     """Drop-in replacement for banded.banded_align running as a Pallas
     TPU kernel. P must be a multiple of 128 (callers pad)."""
@@ -273,35 +293,48 @@ def pallas_banded_align(
     # 8 sublane rows: a (1, 128) int32 block is below the minimum tile
     ql2 = jnp.broadcast_to(qlens.astype(jnp.int32)[None, :], (8, P))
 
+    qual_pen = qpen is not None
     n_stats = 1 if score_only else N_STATS
     kernel = _make_kernel(
         L, D, params.mode == "local", float(params.match),
         float(params.mismatch), float(params.gap_open),
-        float(params.gap_extend), n_stats=n_stats)
+        float(params.gap_extend), n_stats=n_stats,
+        qual_pen=qual_pen, npen=float(params.n_pen))
+
+    in_specs = [
+        pl.BlockSpec((L, LANES), lambda j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, LANES), lambda j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((W, LANES), lambda j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    inputs = [qT, ql2, rT]
+    scratch = [
+        pltpu.VMEM((L, LANES), jnp.float32),            # qf
+        pltpu.VMEM((W, LANES), jnp.float32),            # rf
+    ]
+    if qual_pen:
+        in_specs.append(pl.BlockSpec((L, LANES), lambda j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(qpen.T)
+        scratch.append(pltpu.VMEM((L, LANES), jnp.float32))   # qpf
+    scratch += [
+        pltpu.VMEM((D, LANES), jnp.float32),            # H
+        pltpu.VMEM((D, LANES), jnp.float32),            # H_fresh
+        pltpu.VMEM((n_stats * D, LANES), jnp.float32),  # H stats
+        pltpu.VMEM((D, LANES), jnp.float32),            # I
+        pltpu.VMEM((n_stats * D, LANES), jnp.float32),  # I stats
+        pltpu.VMEM((OUT_ROWS, LANES), jnp.float32),     # best rows
+    ]
 
     out = pl.pallas_call(
         kernel,
         grid=(P // LANES,),
-        in_specs=[
-            pl.BlockSpec((L, LANES), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANES), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, LANES), lambda j: (0, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((OUT_ROWS, LANES), lambda j: (0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((OUT_ROWS, P), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((L, LANES), jnp.float32),            # qf
-            pltpu.VMEM((W, LANES), jnp.float32),            # rf
-            pltpu.VMEM((D, LANES), jnp.float32),            # H
-            pltpu.VMEM((D, LANES), jnp.float32),            # H_fresh
-            pltpu.VMEM((n_stats * D, LANES), jnp.float32),  # H stats
-            pltpu.VMEM((D, LANES), jnp.float32),            # I
-            pltpu.VMEM((n_stats * D, LANES), jnp.float32),  # I stats
-            pltpu.VMEM((OUT_ROWS, LANES), jnp.float32),     # best rows
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(qT, ql2, rT)
+    )(*inputs)
 
     if score_only:
         # score-mode stat plane order: (wstart,) at out row 3

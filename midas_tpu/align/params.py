@@ -27,13 +27,37 @@ import math
 @dataclasses.dataclass(frozen=True)
 class ScoringParams:
     match: int
-    mismatch: int          # negative
+    mismatch: int          # negative; with qual_scaled this is -MX (the
+    #                        worst-quality penalty; bowtie2 --mp MX,MN)
     gap_open: int          # positive cost; a gap of length g costs open + g*extend
     gap_extend: int        # positive cost
     mode: str              # 'local' (free query+ref ends) or 'glocal' (full query, free ref ends)
     # Karlin-Altschul parameters for e-value/bitscore (marker personality).
     ka_lambda: float = 1.28
     ka_k: float = 0.46
+    # Bowtie2 quality-scaled mismatch model (bowtie2 manual, --mp MX,MN,
+    # default 6,2): the penalty for a mismatch at a base with Phred
+    # quality Q is  MN + floor((MX-MN) * MIN(Q, 40.0) / 40.0),  and a
+    # column whose READ base is an ambiguous character costs n_pen
+    # (--np, default 1). Deviation, documented: a column whose REF base
+    # is code 4 with a real read base costs MX, not n_pen — the packed
+    # reference uses one code for both N and structural padding
+    # (window/guard pad must stay maximally penalized), and rep-genome
+    # Ns are assembly gaps no kept read should span. qual_scaled=False
+    # (megablast marker personality) keeps the flat `mismatch` for
+    # every non-match, as before.
+    qual_scaled: bool = False
+    mm_min: int = 2
+    n_pen: int = 1
+
+    def mismatch_penalty(self, q: int) -> int:
+        """Positive penalty for a mismatch at Phred quality q —
+        bowtie2's MM penalty table, computed in exact integer
+        arithmetic: MN + ((MX-MN) * min(q, 40)) // 40."""
+        if not self.qual_scaled:
+            return -self.mismatch
+        mx = -self.mismatch
+        return self.mm_min + ((mx - self.mm_min) * min(int(q), 40)) // 40
 
     def score_min(self, read_len: int) -> float:
         """Minimum acceptable alignment score, bowtie2-style defaults:
@@ -51,6 +75,31 @@ class ScoringParams:
     def evalue(self, raw: float, qlen: int, dblen: int) -> float:
         return float(qlen) * float(dblen) * 2.0 ** (-self.bitscore(raw))
 
+    def evalue_score_threshold(self, qlen, dblen: float,
+                               emax: float = 1e-3):
+        """Smallest raw score whose e-value is <= emax — the score-space
+        form of hs-blastn's `-evalue 1e-3` gate (the reference's m8 is
+        pre-thresholded by the binary, midas/run/species.py:39-46).
+        Monotone algebra of evalue(): raw >= (ln K + ln qlen + ln dblen
+        - ln emax) / lambda. Immaterial for reads >= ~25 bp (the
+        pid-cutoff + qcov floors imply higher scores), but our k=14
+        seed index can align ultra-short fragments the binary's 28 bp
+        word size never would — this gate drops them identically.
+        Works on scalars or arrays (jnp/np log)."""
+        import numpy as _np
+
+        log = _np.log
+        try:
+            import jax.numpy as _jnp
+
+            if not _np.isscalar(qlen) and not isinstance(qlen, _np.ndarray):
+                log = _jnp.log
+        except ImportError:
+            pass
+        qlen_f = qlen if _np.isscalar(qlen) else qlen.astype("float32")
+        return (float(_np.log(self.ka_k)) + log(qlen_f)
+                + float(_np.log(dblen) - _np.log(emax))) / self.ka_lambda
+
 
 # megablast scoring for the 15-marker-gene search. hs-blastn runs with
 # NCBI megablast defaults (the reference passes no scoring flags,
@@ -65,13 +114,21 @@ MARKER_SCORING = ScoringParams(match=2, mismatch=-4, gap_open=0,
                                gap_extend=5, mode="local",
                                ka_lambda=0.64, ka_k=0.46)
 
-# bowtie2 end-to-end-like scoring (rep-genome SNP mapping default,
-# run_midas.py:404 mode default 'global')
-GLOBAL_SCORING = ScoringParams(match=0, mismatch=-6, gap_open=5, gap_extend=3, mode="glocal")
+# bowtie2 end-to-end scoring (rep-genome SNP mapping default,
+# run_midas.py:404 mode default 'global'; the reference invokes bowtie2
+# with default scoring, midas/run/snps.py:97-128): match 0, mismatch
+# quality-scaled --mp 6,2, gaps --rdg/--rfg 5,3, read-N --np 1
+GLOBAL_SCORING = ScoringParams(match=0, mismatch=-6, gap_open=5,
+                               gap_extend=3, mode="glocal",
+                               qual_scaled=True, mm_min=2, n_pen=1)
 
-# bowtie2 local-like scoring (pangenome CNV mapping default,
-# run_midas.py:269 mode default 'local')
-LOCAL_SCORING = ScoringParams(match=2, mismatch=-6, gap_open=5, gap_extend=3, mode="local")
+# bowtie2 local scoring (pangenome CNV mapping default,
+# run_midas.py:269 mode default 'local'; reference invocation
+# midas/run/genes.py:116-145): match bonus --ma 2, quality-scaled
+# mismatch --mp 6,2, gaps 5,3, read-N --np 1
+LOCAL_SCORING = ScoringParams(match=2, mismatch=-6, gap_open=5,
+                              gap_extend=3, mode="local",
+                              qual_scaled=True, mm_min=2, n_pen=1)
 
 
 # Bowtie2 MapqV2 decision tables (bowtie2 mapq.h, class MapqV2::mapq —

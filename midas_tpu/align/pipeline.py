@@ -23,10 +23,22 @@ from midas_tpu.align.banded import banded_align
 from midas_tpu.align.params import ScoringParams
 from midas_tpu.align.seed import (SeedParams, find_candidates,
                                   gather_windows_packed, pack_words_host,
-                                  revcomp_batch)
+                                  revcomp_batch, reverse_batch)
 from midas_tpu.db.index import SeedIndex
 from midas_tpu.db.refpack import ReferencePack
 from midas_tpu.io.batch import ReadBatch
+
+
+def quality_penalties(quals: jnp.ndarray,
+                      scoring: ScoringParams) -> jnp.ndarray:
+    """Per-base positive mismatch penalties from Phred qualities —
+    bowtie2's --mp MX,MN table in exact integer arithmetic:
+    MN + ((MX - MN) * min(Q, 40)) // 40 (ScoringParams.mismatch_penalty,
+    vectorized). quals [B, L] int8 -> [B, L] int8."""
+    mx = -scoring.mismatch
+    mn = scoring.mm_min
+    q = jnp.minimum(quals.astype(jnp.int32), 40)
+    return (mn + ((mx - mn) * q) // 40).astype(jnp.int8)
 
 
 @dataclasses.dataclass
@@ -73,21 +85,23 @@ class AlignmentResult:
 
 
 def dispatch_banded_align(q_pair, qlens_pair, win_pair, scoring, band_width,
-                          score_only: bool = False):
+                          score_only: bool = False, qpen_pair=None):
     """Pick the DP implementation for the current backend: the Pallas
     kernel on TPU (~4 orders of magnitude faster than the lowered jnp
     graph), the jnp reference elsewhere. MIDAS_TPU_NO_PALLAS=1 forces
     the jnp path for debugging. score_only=True selects the 1-stat-plane
     kernel (score/qend/wstart/wend only — pass 1 of the two-pass
     alignment); the jnp fallback computes full stats and subsets, so
-    results are identical on every backend."""
+    results are identical on every backend. qpen_pair ([P, L] int8
+    positive penalties) enables the bowtie2 quality-scaled mismatch
+    model in either implementation."""
     import os
 
     use_pallas = (jax.default_backend() not in ("cpu",)
                   and not os.environ.get("MIDAS_TPU_NO_PALLAS"))
     if not use_pallas:
         out = banded_align(q_pair, qlens_pair, win_pair, params=scoring,
-                           band_width=band_width)
+                           band_width=band_width, qpen=qpen_pair)
         if score_only:
             out = {k: out[k] for k in ("score", "qend", "wstart", "wend")}
         return out
@@ -99,8 +113,11 @@ def dispatch_banded_align(q_pair, qlens_pair, win_pair, scoring, band_width,
         q_pair = jnp.pad(q_pair, ((0, pad), (0, 0)), constant_values=4)
         qlens_pair = jnp.pad(qlens_pair, (0, pad))
         win_pair = jnp.pad(win_pair, ((0, pad), (0, 0)), constant_values=4)
+        if qpen_pair is not None:
+            qpen_pair = jnp.pad(qpen_pair, ((0, pad), (0, 0)))
     out = pallas_banded_align(q_pair, qlens_pair, win_pair, params=scoring,
-                              band_width=band_width, score_only=score_only)
+                              band_width=band_width, score_only=score_only,
+                              qpen=qpen_pair)
     if pad:
         out = {k: v[:P] for k, v in out.items()}
     return out
@@ -113,8 +130,12 @@ def _prepare_pairs(
     strand: jnp.ndarray,   # [B, C]
     num_cands: int,
     rc: Optional[jnp.ndarray] = None,  # [B, L] precomputed reverse complement
+    qpen: Optional[jnp.ndarray] = None,  # [B, L] mismatch penalties (fwd)
 ) -> tuple:
-    """Per-candidate strand-selected queries, flattened to [B*C, L]."""
+    """Per-candidate strand-selected queries, flattened to [B*C, L];
+    with qpen, the penalty plane rides along (reversed for rc-strand
+    candidates, since penalties follow the read base they qualify).
+    Returns (q_pair, qlens_pair, qpen_pair-or-None)."""
     B, L = codes.shape
     C = num_cands
     if rc is None:
@@ -122,7 +143,13 @@ def _prepare_pairs(
     q_pair = jnp.where(strand[:, :, None] == 1, rc[:, None, :], codes[:, None, :])
     q_pair = jnp.broadcast_to(q_pair, (B, C, L)).reshape(B * C, L)
     qlens_pair = jnp.broadcast_to(qlens[:, None], (B, C)).reshape(B * C)
-    return q_pair, qlens_pair
+    qpen_pair = None
+    if qpen is not None:
+        rpen = reverse_batch(qpen, qlens)
+        qpen_pair = jnp.where(strand[:, :, None] == 1, rpen[:, None, :],
+                              qpen[:, None, :])
+        qpen_pair = jnp.broadcast_to(qpen_pair, (B, C, L)).reshape(B * C, L)
+    return q_pair, qlens_pair, qpen_pair
 
 
 @jax.jit
@@ -166,6 +193,7 @@ def _postprocess(
 def _align_batch_stages(
     index_arrays, pack_arrays, codes, qlens,
     scoring: ScoringParams, seed_params: SeedParams, max_len: int,
+    quals: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     B, L = codes.shape
     C = seed_params.num_cands
@@ -179,11 +207,14 @@ def _align_batch_stages(
     winstart = cands["diag"] - D // 2
     ref_win, seq_idx = gather_windows_packed(
         pack_arrays["words"], pack_arrays["nmask"], pack_offsets, winstart,
-        window_len=W)
-    q_pair, qlens_pair = _prepare_pairs(codes, qlens, cands["strand"],
-                                        num_cands=C, rc=cands["rc"])
+        window_len=W, center=cands["diag"] + qlens[:, None] // 2)
+    qpen = (quality_penalties(quals, scoring)
+            if scoring.qual_scaled and quals is not None else None)
+    q_pair, qlens_pair, qpen_pair = _prepare_pairs(
+        codes, qlens, cands["strand"], num_cands=C, rc=cands["rc"],
+        qpen=qpen)
     out = dispatch_banded_align(q_pair, qlens_pair, ref_win.reshape(B * C, W),
-                                scoring, D)
+                                scoring, D, qpen_pair=qpen_pair)
     out = {k: v.reshape(B, C) for k, v in out.items()}
     seq_lo = pack_offsets[seq_idx].astype(jnp.int32)
     return _postprocess(out, cands, winstart, seq_idx, seq_lo)
@@ -201,6 +232,7 @@ def _align_batch_device(
     scoring: ScoringParams,
     seed_params: SeedParams,
     max_len: int,
+    quals: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Seed -> window gather -> banded extension -> postprocess.
 
@@ -215,7 +247,8 @@ def _align_batch_device(
     if jax.default_backend() not in ("cpu",):
         return _align_batch_fused(
             index_arrays, pack_arrays, codes, qlens,
-            scoring=scoring, seed_params=seed_params, max_len=max_len)
+            scoring=scoring, seed_params=seed_params, max_len=max_len,
+            quals=quals)
     pack_offsets = pack_arrays["offsets"]
     cands = find_candidates(index_arrays, codes, qlens, seed_params, max_len)
     cands = jax.block_until_ready(cands)
@@ -223,13 +256,17 @@ def _align_batch_device(
     W = codes.shape[1] + D - 1
     winstart = cands["diag"] - D // 2
     ref_win, seq_idx = gather_windows_packed(
-        pack_arrays["words"], pack_arrays["nmask"], pack_offsets, winstart, W)
+        pack_arrays["words"], pack_arrays["nmask"], pack_offsets, winstart, W,
+        center=cands["diag"] + qlens[:, None] // 2)
     ref_win = jax.block_until_ready(ref_win)
-    q_pair, qlens_pair = _prepare_pairs(
-        codes, qlens, cands["strand"], seed_params.num_cands, rc=cands["rc"])
+    qpen = (quality_penalties(quals, scoring)
+            if scoring.qual_scaled and quals is not None else None)
+    q_pair, qlens_pair, qpen_pair = _prepare_pairs(
+        codes, qlens, cands["strand"], seed_params.num_cands, rc=cands["rc"],
+        qpen=qpen)
     B, C = codes.shape[0], seed_params.num_cands
     out = dispatch_banded_align(q_pair, qlens_pair, ref_win.reshape(B * C, W),
-                                scoring, D)
+                                scoring, D, qpen_pair=qpen_pair)
     out = jax.block_until_ready(out)
     out = {k: v.reshape(B, C) for k, v in out.items()}
     seq_lo = pack_offsets[seq_idx].astype(jnp.int32)
@@ -282,8 +319,11 @@ class Aligner:
                     "gap_opens")
 
     def align_batch(self, batch: ReadBatch) -> AlignmentResult:
+        quals = (jnp.asarray(batch.quals) if self.scoring.qual_scaled
+                 else None)
         dev = _pack_result(self.align_batch_device(
-            jnp.asarray(batch.codes), jnp.asarray(batch.lengths)))
+            jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+            quals=quals))
         # ONE packed device->host transfer: on a tunneled TPU each D2H
         # RPC costs ~5 ms, so 12 separate [B, C] pulls were the hot loop
         packed = np.asarray(jax.device_get(dev))
@@ -299,16 +339,19 @@ class Aligner:
         host["valid"][batch.n_reads:] = False
         return AlignmentResult(names=batch.names, n_reads=batch.n_reads, **host)
 
-    def align_batch_device(self, codes: jnp.ndarray, qlens: jnp.ndarray):
+    def align_batch_device(self, codes: jnp.ndarray, qlens: jnp.ndarray,
+                           quals: Optional[jnp.ndarray] = None):
         return _align_batch_device(
             self.index_arrays, self.pack_arrays,
             codes, qlens, self.scoring, self.seed_params, self.max_read_len,
+            quals=quals,
         )
 
 
 def align_candidates_score(
     index_arrays, pack_arrays, codes, qlens,
     scoring: ScoringParams, seed_params: SeedParams, max_len: int,
+    quals: Optional[jnp.ndarray] = None,
 ):
     """Pass 1 of the two-pass alignment: seed + score-only banded DP over
     every candidate. Returns (out1, aux):
@@ -332,11 +375,15 @@ def align_candidates_score(
     winstart = cands["diag"] - D // 2
     ref_win, seq_idx = gather_windows_packed(
         pack_arrays["words"], pack_arrays["nmask"], pack_offsets, winstart,
-        window_len=W)
-    q_pair, qlens_pair = _prepare_pairs(codes, qlens, cands["strand"],
-                                        num_cands=C, rc=cands["rc"])
+        window_len=W, center=cands["diag"] + qlens[:, None] // 2)
+    qpen = (quality_penalties(quals, scoring)
+            if scoring.qual_scaled and quals is not None else None)
+    q_pair, qlens_pair, qpen_pair = _prepare_pairs(
+        codes, qlens, cands["strand"], num_cands=C, rc=cands["rc"],
+        qpen=qpen)
     out = dispatch_banded_align(q_pair, qlens_pair, ref_win.reshape(B * C, W),
-                                scoring, D, score_only=True)
+                                scoring, D, score_only=True,
+                                qpen_pair=qpen_pair)
     out = {k: v.reshape(B, C) for k, v in out.items()}
     seq_lo = pack_offsets[seq_idx].astype(jnp.int32)
     tstart = winstart + out["wstart"] - seq_lo
@@ -353,7 +400,8 @@ def align_candidates_score(
     out1 = dict(valid=valid, score=out["score"], seq_idx=seq_idx,
                 strand=cands["strand"], tstart=tstart, tend=tend,
                 qend=out["qend"])
-    aux = dict(winstart=winstart, rc=cands["rc"], strand=cands["strand"])
+    aux = dict(winstart=winstart, rc=cands["rc"], strand=cands["strand"],
+               qpen=qpen)
     return out1, aux
 
 
@@ -375,10 +423,15 @@ def align_chosen_full(
                                    axis=1)[:, 0]       # [B]
     ref_win, seq_idx = gather_windows_packed(
         pack_arrays["words"], pack_arrays["nmask"], pack_offsets, winstart_b,
-        window_len=W)                                  # [B, 1, W], [B, 1]
+        window_len=W,
+        center=winstart_b + D // 2 + qlens[:, None] // 2)  # [B,1,W], [B,1]
     q_best = jnp.where(strand_b[:, None] == 1, aux["rc"], codes)
+    qpen_best = None
+    if aux.get("qpen") is not None:
+        qpen_best = jnp.where(strand_b[:, None] == 1,
+                              reverse_batch(aux["qpen"], qlens), aux["qpen"])
     out = dispatch_banded_align(q_best, qlens, ref_win.reshape(B, W),
-                                scoring, D)
+                                scoring, D, qpen_pair=qpen_best)
     seq_lo = pack_offsets[seq_idx[:, 0]].astype(jnp.int32)
     out["tstart"] = winstart_b[:, 0] + out["wstart"] - seq_lo
     out["tend"] = winstart_b[:, 0] + out["wend"] - seq_lo

@@ -76,6 +76,20 @@ def revcomp_batch(codes: jnp.ndarray, qlens: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid, comp, jnp.int8(4))
 
 
+def reverse_batch(x: jnp.ndarray, qlens: jnp.ndarray,
+                  fill: int = 0) -> jnp.ndarray:
+    """Per-read reversal without complement (quality / penalty planes
+    riding alongside revcomp_batch'ed codes), keeping rows left-aligned:
+    out[i, j] = x[i, qlen_i-1-j], `fill` beyond the read."""
+    B, L = x.shape
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    idx = qlens[:, None] - 1 - j
+    valid = idx >= 0
+    gathered = jnp.take_along_axis(
+        x, jnp.clip(idx, 0, L - 1).astype(jnp.int32), axis=1)
+    return jnp.where(valid, gathered, x.dtype.type(fill))
+
+
 def _query_kmers(codes: jnp.ndarray, qlens: jnp.ndarray, k: int, stride: int,
                  max_len: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """K-mers at stride positions. Returns (kmers [B,S] uint32,
@@ -261,6 +275,7 @@ def gather_windows(
     pack_offsets: jnp.ndarray, # [S+1] int64/int32
     winstart: jnp.ndarray,     # [B, C] int32 global pack coords
     window_len: int,
+    center: jnp.ndarray = None,  # see gather_windows_packed
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather reference windows, masking outside the target sequence so
     alignments never cross packed-sequence boundaries.
@@ -270,7 +285,8 @@ def gather_windows(
 
     Returns (ref_win [B, C, W] int8, seq_idx [B, C] int32)."""
     W = window_len
-    seq_idx, seq_lo, seq_hi = _window_seq_bounds(pack_offsets, winstart, W)
+    seq_idx, seq_lo, seq_hi = _window_seq_bounds(pack_offsets, winstart, W,
+                                                 center=center)
     w = jnp.arange(W, dtype=jnp.int32)[None, None, :]
     pos = winstart[:, :, None] + w
     in_seq = (pos >= seq_lo[:, :, None]) & (pos < seq_hi[:, :, None])
@@ -279,8 +295,17 @@ def gather_windows(
     return ref_win, seq_idx
 
 
-def _window_seq_bounds(pack_offsets, winstart, W):
-    center = winstart + W // 2
+def _window_seq_bounds(pack_offsets, winstart, W, center=None):
+    """Target sequence owning each window, by its expected ALIGNMENT
+    midpoint. `center` defaults to the window midpoint, which is only
+    right when the read fills the window: a short read near the end of
+    a sequence has its window mostly PAST the sequence, the midpoint
+    lands in the next sequence, and the in-seq mask then blanks the
+    true hit (a perfect 40 bp read in a 128 bucket scored 0 — caught by
+    the 40 bp golden test). Callers pass center = alignment midpoint
+    (diag + qlen // 2)."""
+    if center is None:
+        center = winstart + W // 2
     seq_idx = (
         jnp.searchsorted(pack_offsets, center.astype(pack_offsets.dtype), side="right") - 1
     ).astype(jnp.int32)
@@ -300,6 +325,8 @@ def gather_windows_packed(
     pack_offsets: jnp.ndarray, # [S+1] int32/int64
     winstart: jnp.ndarray,     # [B, C] int32 global pack coords
     window_len: int,
+    center: jnp.ndarray = None,  # [B, C] expected alignment midpoint
+    #                              (diag + qlen//2); default = window mid
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Word-packed window gather for TPU.
 
@@ -316,7 +343,8 @@ def gather_windows_packed(
     Returns (ref_win [B, C, W] int8, seq_idx [B, C] int32)."""
     W = window_len
     NWIN = (W + BASES_PER_WORD - 1) // BASES_PER_WORD + 1
-    seq_idx, seq_lo, seq_hi = _window_seq_bounds(pack_offsets, winstart, W)
+    seq_idx, seq_lo, seq_hi = _window_seq_bounds(pack_offsets, winstart, W,
+                                                 center=center)
 
     w0 = jnp.floor_divide(winstart, BASES_PER_WORD)           # [B, C]
     off = winstart - w0 * BASES_PER_WORD                       # in [0, 16)

@@ -56,9 +56,15 @@ def stride_batches(batches, process_index: int, process_count: int):
     i % process_count == process_index (the native reader parses at
     ~1.3M reads/s, far above per-chip align throughput, so redundant
     parsing does not bound scaling until ~dozens of hosts; beyond that,
-    split the input into per-host files)."""
+    split the input into per-host files). Each kept batch is tagged
+    with its GLOBAL stream index — the ambiguous-read merge sorts
+    spill rows back into single-process stream order with it."""
     for i, b in enumerate(batches):
         if i % process_count == process_index:
+            try:
+                b.global_index = i
+            except AttributeError:   # non-batch items (unit tests)
+                pass
             yield b
 
 
@@ -69,8 +75,12 @@ def merge_species_accumulators(
     """Cross-host merge of one host's species-classifier results.
 
     Uses jax.experimental.multihost_utils.process_allgather; a
-    single-process run short-circuits to the inputs. Ambiguous rows are
-    concatenated process-major so every host sees the same order."""
+    single-process run short-circuits to the inputs. Each ambiguous row
+    carries its global stream rank (4th element) — the RNG assignment
+    (SpeciesProfiler.assign_and_normalize) sorts the merged rows back
+    into single-process stream order with it, so the sequential draws
+    land on the same reads as a single-host run (byte-identity by
+    construction; reference draw order: midas/run/species.py:104-119)."""
     import jax
 
     if jax.process_count() == 1:
@@ -80,28 +90,33 @@ def merge_species_accumulators(
 
     g_count = np.asarray(mh.process_allgather(unique_count)).sum(axis=0)
     g_bp = np.asarray(mh.process_allgather(unique_bp)).sum(axis=0)
-    # pack this host's ambiguous (seq, species, aln) rows into padded arrays
+    # pack this host's ambiguous (seq, species, aln, ord) rows into
+    # padded arrays
     n = len(ambiguous)
-    width = max([len(s) for _q, s, _a in ambiguous], default=1)
+    width = max([len(t[1]) for t in ambiguous], default=1)
     n_max = int(np.asarray(mh.process_allgather(np.int64(n))).max())
     w_max = int(np.asarray(mh.process_allgather(np.int64(width))).max())
     sp = np.full((max(n_max, 1), w_max), -1, dtype=np.int64)
     bp = np.zeros((max(n_max, 1), w_max), dtype=np.float64)
     sq = np.zeros((max(n_max, 1), w_max), dtype=np.int64)
-    for r, (q, s, a) in enumerate(ambiguous):
+    od = np.zeros(max(n_max, 1), dtype=np.int64)
+    for r, t in enumerate(ambiguous):
+        q, s, a = t[0], t[1], t[2]
         sq[r, : len(q)] = q
         sp[r, : len(s)] = s
         bp[r, : len(a)] = a
+        od[r] = t[3] if len(t) > 3 else r
     counts = np.asarray(mh.process_allgather(np.int64(n)))
     g_sp = np.asarray(mh.process_allgather(sp))    # [P, n_max, w]
     g_abp = np.asarray(mh.process_allgather(bp))
     g_sq = np.asarray(mh.process_allgather(sq))
+    g_od = np.asarray(mh.process_allgather(od))
     merged = []
     for p in range(g_sp.shape[0]):
         for r in range(int(counts[p])):
             cols = np.flatnonzero(g_sp[p, r] >= 0)
             merged.append((g_sq[p, r, cols], g_sp[p, r, cols],
-                           g_abp[p, r, cols]))
+                           g_abp[p, r, cols], int(g_od[p, r])))
     g_stats = {
         k: int(np.asarray(mh.process_allgather(np.int64(v))).sum())
         for k, v in stats.items()
@@ -156,7 +171,7 @@ def _make_local_profiler(cls_single, cls_dist, db, species_ids, tp, kw):
 
 
 def _stride_setup(prof, read_paths, pid, pcount, paired: bool = False,
-                  max_reads=None):
+                  max_reads=None, force_stride: bool = False):
     """Pick the per-host input sharding. File-granular sharding is only
     safe when the run is unpaired, uncapped, and has at least one file
     per host: paired inputs must never split (m1, m2) across ranks
@@ -164,8 +179,11 @@ def _stride_setup(prof, read_paths, pid, pcount, paired: bool = False,
     and max_reads must cap the SHARED stream before striding (per-file
     caps would process up to pcount*max_reads reads and diverge from a
     single-process run). Everything else batch-strides the shared
-    stream."""
-    if (pcount > 1 and not paired and max_reads is None
+    stream. force_stride skips file sharding entirely — species runs
+    need every batch's GLOBAL stream index for the ambiguous-read
+    stream-order merge, and with whole files per host batches do not
+    align to any shared stream."""
+    if (pcount > 1 and not paired and max_reads is None and not force_stride
             and len(read_paths) >= pcount):
         return shard_read_paths(read_paths, pid, pcount)
     if pcount > 1:
@@ -247,8 +265,10 @@ def run_snps_multihost(
                             paired=paired, interleaved=interleaved,
                             read_length=read_length)
     if pcount > 1:
+        from midas_tpu.profile.device_steps import resolve_counts
+
         merged = dict(
-            counts=_allgather_sum(host["counts"]),
+            counts=_allgather_sum(resolve_counts(host["counts"])),
             aligned_reads=_allgather_sum(host["aligned_reads"]),
             mapped_reads=_allgather_sum(host["mapped_reads"]),
             gap_codes=_allgather_rows(host["gap_codes"]),
@@ -298,7 +318,7 @@ def run_species_multihost(
         prof = SpeciesProfiler(db, seed=seed, **profiler_kw)
 
     my_paths = _stride_setup(prof, read_paths, pid, pcount,
-                             max_reads=max_reads)
+                             max_reads=max_reads, force_stride=True)
 
     unique_count, unique_bp, ambiguous = prof._run_device(
         my_paths, read_length, max_reads, batch_size,

@@ -42,7 +42,8 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from midas_tpu.align.params import ScoringParams
-from midas_tpu.align.pipeline import _align_batch_stages
+from midas_tpu.align.pipeline import (align_candidates_score,
+                                      align_chosen_full)
 from midas_tpu.align.seed import SeedParams, revcomp_batch
 from midas_tpu.dist.sharded import make_mesh
 from midas_tpu.dist.species import shard_pack_arrays
@@ -52,26 +53,46 @@ from midas_tpu.profile.snps import SnpsProfiler
 
 NEG_INF = ds.NEG_INF
 
+# pass-1 planes: all that best-hit choice, pairing, MAPQ, and the
+# duplicate drop need. The full six-stat DP runs only over each read's
+# CHOSEN candidate on its owner rank (two-pass alignment, the same
+# optimization the single-chip genes_update/snps_update use —
+# align/pipeline.align_candidates_score + align_chosen_full).
 _GATHER_KEYS = ("valid", "score", "seq_idx", "strand", "tstart", "tend",
-                "qstart", "qend", "matches", "mismatches", "gap_cols",
-                "gap_opens")
+                "qend")
 
 
 def _local_and_gathered(idx_a, pack_a, sb, codes, qlens, scoring,
-                        seed_params, max_len):
-    """Align the dp-local batch against the tp-local slice, then
-    all_gather the per-read candidate planes over "tp" (rank-major
-    column order) with seq_idx lifted to global ids."""
+                        seed_params, max_len, quals=None):
+    """Score-only pass over the tp-local slice, then all_gather the
+    per-read candidate planes over "tp" (rank-major column order) with
+    seq_idx lifted to global ids. Returns (out1, aux, gat): local
+    pass-1 planes, pass-2 re-alignment context, gathered table."""
     idx_a = {k: v[0] for k, v in idx_a.items()}
     pack_a = {k: v[0] for k, v in pack_a.items()}
     sb = sb[0]
-    out = _align_batch_stages(idx_a, pack_a, codes, qlens,
-                              scoring, seed_params, max_len)
+    out1, aux = align_candidates_score(idx_a, pack_a, codes, qlens,
+                                       scoring, seed_params, max_len,
+                                       quals=quals)
     gat = {}
     for k in _GATHER_KEYS:
-        v = sb + out[k] if k == "seq_idx" else out[k]
+        v = sb + out1[k] if k == "seq_idx" else out1[k]
         gat[k] = jax.lax.all_gather(v, "tp", axis=1, tiled=True)
-    return out, gat
+    return out1, aux, gat
+
+
+def _owner_full_stats(pack_a, aux, codes, qlens, best_col, scoring,
+                      seed_params, num_cands):
+    """Pass 2 on the owner rank: gathered columns are rank-major, so
+    owner = best_col // C and the local column is best_col % C. Every
+    rank runs the [B]-row full-stat DP (SPMD), but only the owner's
+    stats are real — callers mask with `own`."""
+    tp_rank = jax.lax.axis_index("tp")
+    owner = best_col // num_cands
+    lc = jnp.where(owner == tp_rank, best_col % num_cands, 0)
+    full = align_chosen_full({k: v[0] for k, v in pack_a.items()},
+                             aux, codes, qlens, lc, scoring, seed_params)
+    return owner == tp_rank, lc, full
 
 
 @functools.partial(
@@ -89,6 +110,7 @@ def dist_genes_update(
     seq_base: jnp.ndarray,
     num_genes: int,
     codes: jnp.ndarray,
+    quals: jnp.ndarray,
     qlens: jnp.ndarray,
     mean_qual: jnp.ndarray,
     n_reads: jnp.ndarray,
@@ -103,13 +125,19 @@ def dist_genes_update(
     maxins: int = 500,
 ) -> ds.GenesState:
     """One distributed CNV batch; replicated [G+1] accumulators updated
-    with psum-merged deltas (genes.py:153-203 semantics)."""
+    with psum-merged deltas (genes.py:153-203 semantics). Two-pass
+    alignment as in the single-chip genes_update: score-only DP over
+    every candidate on each tp rank, full-stat DP only over each read's
+    chosen candidate on its OWNER rank — per-read deltas are owner-only
+    and psum over both axes, so every read is counted exactly once."""
     G = num_genes
+    C = seed_params.num_cands
 
-    def local(codes, qlens, mean_qual, n_reads, idx_a, pack_a, sb):
+    def local(codes, quals, qlens, mean_qual, n_reads, idx_a, pack_a, sb):
         Bl = codes.shape[0]
-        _out, g = _local_and_gathered(idx_a, pack_a, sb, codes, qlens,
-                                      scoring, seed_params, max_len)
+        _out1, aux, g = _local_and_gathered(idx_a, pack_a, sb, codes, qlens,
+                                            scoring, seed_params, max_len,
+                                            quals=quals)
         dp_rank = jax.lax.axis_index("dp")
         real = dp_rank * Bl + jnp.arange(Bl) < n_reads
         if paired:
@@ -117,26 +145,28 @@ def dist_genes_update(
                 g, qlens, scoring, maxins=maxins)
         else:
             aligned, best_col, mapq = ds.best_hit_device(g, qlens, scoring)
-        aligned = aligned & real
+        own, _lc, full = _owner_full_stats(pack_a, aux, codes, qlens,
+                                           best_col, scoring, seed_params, C)
+        aligned = aligned & real & own
         gi = ds._pick(g["seq_idx"], best_col)
         ga = jnp.where(aligned, gi, G)
         d_aligned = jnp.zeros(G + 1, jnp.int32).at[ga].add(
             jnp.where(aligned, 1, 0))
-        keep = aligned & ds.keep_mask_device(g, best_col, qlens, mean_qual,
-                                             mapq, mapid, readq, min_mapq,
-                                             aln_cov)
+        keep = aligned & ds.keep_mask_chosen(full, qlens, mean_qual, mapq,
+                                             mapid, readq, min_mapq, aln_cov)
         gk = jnp.where(keep, gi, G)
         d_mapped = jnp.zeros(G + 1, jnp.int32).at[gk].add(
             jnp.where(keep, 1, 0))
-        alen = ds._pick(g["qend"], best_col) - ds._pick(g["qstart"], best_col)
+        alen = full["qend"] - full["qstart"]
         d_bp = jnp.zeros(G + 1, jnp.int32).at[gk].add(
             jnp.where(keep, alen, 0))
-        return (jax.lax.psum(d_aligned, "dp"), jax.lax.psum(d_mapped, "dp"),
-                jax.lax.psum(d_bp, "dp"))
+        return (jax.lax.psum(d_aligned, ("dp", "tp")),
+                jax.lax.psum(d_mapped, ("dp", "tp")),
+                jax.lax.psum(d_bp, ("dp", "tp")))
 
     shard_fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P("dp", None), P("dp"), P("dp"), P(),
+        in_specs=(P("dp", None), P("dp", None), P("dp"), P("dp"), P(),
                   dict(bucket1=P("tp", None, None),
                        bucket2=P("tp", None, None),
                        positions2d=P("tp", None, None)),
@@ -147,7 +177,7 @@ def dist_genes_update(
         check_vma=False,
     )
     d_aligned, d_mapped, d_bp = shard_fn(
-        codes, qlens, mean_qual, n_reads,
+        codes, quals, qlens, mean_qual, n_reads,
         shard_index_arrays, shard_pack_arrays_, seq_base)
     return ds.GenesState(
         aligned_reads=state.aligned_reads + d_aligned,
@@ -208,13 +238,14 @@ class DistributedGenesProfiler(GenesProfiler):
         if getattr(self, "_batch_filter", None):
             batches = self._batch_filter(batches)  # multi-host striding
         for db in prefetch_device_batches(
-                batches, ("codes", "lengths", "mean_qual"), trim=trim,
-                skip_batches=skip):
+                batches, ("codes", "quals", "lengths", "mean_qual"),
+                trim=trim, skip_batches=skip):
             last_index = db.index
-            codes, lengths, mean_qual, n_reads = db.arrays
+            codes, quals, lengths, mean_qual, n_reads = db.arrays
             state = dist_genes_update(
                 self.mesh, state, self.shard_index_arrays, self.shard_pack,
-                self.shard_seq_base, G, codes, lengths, mean_qual, n_reads,
+                self.shard_seq_base, G, codes, quals, lengths, mean_qual,
+                n_reads,
                 scoring=al.scoring, seed_params=al.seed_params,
                 max_len=al.max_read_len, mapid=float(self.mapid),
                 readq=float(self.readq), min_mapq=int(self.mapq),
@@ -274,24 +305,28 @@ def dist_snps_update(
               idx_a, pack_a, sb, contig_species):
         Bl, L = codes.shape
         counts = counts[0]
-        out, g = _local_and_gathered(idx_a, pack_a, sb, codes, qlens,
-                                     scoring, seed_params, max_len)
+        out1, aux, g = _local_and_gathered(idx_a, pack_a, sb, codes, qlens,
+                                           scoring, seed_params, max_len,
+                                           quals=quals)
         dp_rank = jax.lax.axis_index("dp")
-        tp_rank = jax.lax.axis_index("tp")
         real = dp_rank * Bl + jnp.arange(Bl) < n_reads
         if paired:
             aligned, best_col, mapq = ds.paired_best_hit_device(
                 g, qlens, scoring, maxins=maxins)
         else:
             aligned, best_col, mapq = ds.best_hit_device(g, qlens, scoring)
-        aligned = aligned & real
+        # two-pass: full stats for the chosen candidate on its owner
+        # rank only (align_chosen_full); every per-read quantity below
+        # is owner-masked and merged with psum over ("dp", "tp")
+        own, lc, full = _owner_full_stats(pack_a, aux, codes, qlens,
+                                          best_col, scoring, seed_params, C)
+        aligned = aligned & real & own
         gci = ds._pick(g["seq_idx"], best_col)
         sp = contig_species[gci]
         d_aligned = jnp.zeros(S + 1, jnp.int32).at[
             jnp.where(aligned, sp, S)].add(jnp.where(aligned, 1, 0))
-        keep = aligned & ds.keep_mask_device(g, best_col, qlens, mean_qual,
-                                             mapq, mapid, readq, min_mapq,
-                                             aln_cov)
+        keep = aligned & ds.keep_mask_chosen(full, qlens, mean_qual, mapq,
+                                             mapid, readq, min_mapq, aln_cov)
         d_mapped = jnp.zeros(S + 1, jnp.int32).at[
             jnp.where(keep, sp, S)].add(jnp.where(keep, 1, 0))
 
@@ -306,16 +341,13 @@ def dist_snps_update(
         qqsel = jnp.where(strand[:, None] == 1, rc_quals,
                           quals).astype(jnp.int32)
 
-        # this rank scatters only reads whose best hit is in its slice
-        # (gathered columns are rank-major: owner = best_col // C)
-        owner = best_col // C
-        lc = best_col % C           # local candidate column when owned
-        mine = keep & (owner == tp_rank)
-        gapless = ds._pick(g["gap_cols"], best_col) == 0
-        qs = ds._pick(g["qstart"], best_col)
-        qe = ds._pick(g["qend"], best_col)
-        ts = ds._pick(g["tstart"], best_col)
-        lci = ds._pick(out["seq_idx"], lc)          # local seq id
+        # the owner rank scatters its kept gapless reads into its stripe
+        mine = keep                  # already owner-masked
+        gapless = full["gap_cols"] == 0
+        qs = full["qstart"]
+        qe = full["qend"]
+        ts = full["tstart"]
+        lci = ds._pick(out1["seq_idx"], lc)         # local seq id
         seq_lo = pack_a["offsets"][0][lci].astype(jnp.int32)
         Gs = stripe_len
         scatter_row = mine & gapless
@@ -331,18 +363,23 @@ def dist_snps_update(
         delta = jnp.zeros_like(counts).at[flat_idx.reshape(-1)].add(1)
         counts = counts + jax.lax.psum(delta, "dp")
 
-        # gapped spill in GLOBAL coordinates (identical on all ranks):
-        # a non-tiled dp gather rebuilds full-batch rows so the append
-        # outside the shard_map sees stream order. Gapped kept reads
-        # are RARE (typically zero per batch), so the [B, L] plane
-        # gathers — per-batch DCN traffic at multi-host scale — are
-        # gated on a one-scalar psum: no gapped read anywhere, no
-        # gather (the predicate is replicated over "dp", so every rank
+        # gapped spill in GLOBAL coordinates: owner-only stats (ts/te)
+        # replicate over "tp" via a masked psum, then a non-tiled dp
+        # gather rebuilds full-batch rows so the append outside the
+        # shard_map sees stream order. Gapped kept reads are RARE
+        # (typically zero per batch), so the [B, L] plane gathers —
+        # per-batch DCN traffic at multi-host scale — are gated on a
+        # one-scalar psum: no gapped read anywhere, no gather (the
+        # predicate is replicated over "dp" AND "tp", so every rank
         # takes the same cond branch and the collective stays legal).
-        is_gap = keep & ~gapless
-        te = ds._pick(g["tend"], best_col)
-        meta = jnp.stack([gci, ts, te, qlens], axis=1)
-        n_gap_global = jax.lax.psum(jnp.sum(is_gap.astype(jnp.int32)), "dp")
+        is_gap_own = keep & ~gapless
+        te = full["tend"]
+        meta_own = jnp.where(is_gap_own[:, None],
+                             jnp.stack([gci, ts, te, qlens], axis=1), 0)
+        meta = jax.lax.psum(meta_own, "tp")
+        is_gap = jax.lax.psum(is_gap_own.astype(jnp.int32), "tp") > 0
+        n_gap_global = jax.lax.psum(jnp.sum(is_gap.astype(jnp.int32)),
+                                    "dp")
 
         def do_gather():
             return (jax.lax.all_gather(qsel.astype(jnp.int8), "dp",
@@ -361,8 +398,8 @@ def dist_snps_update(
 
         g_codes, g_quals, g_meta, g_isgap = jax.lax.cond(
             n_gap_global > 0, do_gather, no_gather)
-        return (counts[None], jax.lax.psum(d_aligned, "dp"),
-                jax.lax.psum(d_mapped, "dp"),
+        return (counts[None], jax.lax.psum(d_aligned, ("dp", "tp")),
+                jax.lax.psum(d_mapped, ("dp", "tp")),
                 g_codes, g_quals, g_meta, g_isgap)
 
     shard_fn = jax.shard_map(
@@ -493,11 +530,15 @@ class DistributedSnpsProfiler(SnpsProfiler):
                 skip = int(meta["batches_done"])
 
         def snapshot() -> Dict:
+            from midas_tpu.profile.sparse_counts import counts_host_sparse
+
             h = ds.snps_state_host(state)
-            # zero each stripe's dump column (local flat index Gs) so
-            # the tiered-dtype readback engages (see snps_state_host)
-            h["counts"] = self._reassemble_counts(
-                ds.counts_host(counts.at[:, self.stripe_len].set(0)))
+            # per-rank sparse readback of each tp stripe (each rank row
+            # is its own flat [4*(SL+1)] layout with the dump column at
+            # local index SL — exactly the single-chip contract)
+            h["counts"] = self._reassemble_counts(np.stack(
+                [counts_host_sparse(counts[r], self.stripe_len)
+                 for r in range(self.tp)]))
             return h
 
         last_index = skip - 1

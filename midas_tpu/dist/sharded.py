@@ -152,7 +152,9 @@ def distributed_profile_step(
 
         cands = find_candidates(index_arrays, codes, qlens, seed_params, max_len)
         winstart = cands["diag"] - D // 2
-        ref_win, seq_idx = gather_windows(pack_codes, offsets, winstart, W)
+        ref_win, seq_idx = gather_windows(
+            pack_codes, offsets, winstart, W,
+            center=cands["diag"] + qlens[:, None] // 2)
         from midas_tpu.align.seed import revcomp_batch
         rc = revcomp_batch(codes, qlens)
         q_pair = jnp.where(cands["strand"][:, :, None] == 1,

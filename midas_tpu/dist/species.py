@@ -68,7 +68,7 @@ def shard_pack_arrays(
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "scoring", "seed_params", "max_len",
-                     "aln_cov", "n_species"),
+                     "aln_cov", "n_species", "dblen"),
     donate_argnames=("state",),
 )
 def dist_species_update(
@@ -82,15 +82,21 @@ def dist_species_update(
     codes: jnp.ndarray,          # [B, L] global batch
     qlens: jnp.ndarray,          # [B]
     n_reads: jnp.ndarray,        # scalar i32
+    ord_base: jnp.ndarray,       # scalar i32 global stream rank of row 0
     scoring: ScoringParams,
     seed_params: SeedParams,
     max_len: int,
     aln_cov: float,
     n_species: int,
+    dblen: float = 0.0,
 ) -> ds.SpeciesState:
     """One distributed species-classifier batch. The carried state is
     replicated (its per-batch deltas are psum-merged inside); its amb
-    buffer must be (amb_cap+1, tp * seed_params.num_cands) wide."""
+    buffer must be (amb_cap+1, tp * seed_params.num_cands) wide.
+    dblen > 0 enables the hs-blastn -evalue gate, exactly as in the
+    single-chip species_update (dblen is the GLOBAL pack length — the
+    e-value is a whole-database statistic even when the index is
+    tp-sharded)."""
     C = seed_params.num_cands
 
     def local(codes, qlens, n_reads, idx_a, pack_a, sb, seq_species, seq_cutoff):
@@ -111,6 +117,10 @@ def dist_species_update(
             qlens[:, None].astype(jnp.float32), 1.0)
         keep = (out["valid"] & (out["score"] > 0) & (pid >= cutoff)
                 & (qcov >= aln_cov) & real[:, None])
+        if dblen > 0:
+            ethr = scoring.evalue_score_threshold(
+                jnp.maximum(qlens, 1), float(dblen))
+            keep = keep & (out["score"] >= ethr[:, None])
         score_k = jnp.where(keep, out["score"], NEG_INF)
         sp = seq_species[gseq]
 
@@ -165,14 +175,19 @@ def dist_species_update(
         shard_fn(codes, qlens, n_reads, shard_index_arrays, shard_pack_arrays,
                  seq_base, seq_species, seq_cutoff)
 
+    B = codes.shape[0]
+    amb_ord_rows = ord_base + jnp.arange(B, dtype=jnp.int32)
     amb_sp, _ = ds._append_rows(state.amb_sp, state.amb_n, amb_sp_rows, amb_row)
     amb_bp, _ = ds._append_rows(state.amb_bp, state.amb_n, amb_bp_rows, amb_row)
-    amb_seq, amb_n = ds._append_rows(state.amb_seq, state.amb_n, amb_seq_rows,
+    amb_seq, _ = ds._append_rows(state.amb_seq, state.amb_n, amb_seq_rows,
+                                 amb_row)
+    amb_ord, amb_n = ds._append_rows(state.amb_ord, state.amb_n, amb_ord_rows,
                                      amb_row)
     return ds.SpeciesState(
         uniq_count=state.uniq_count + d_count,
         uniq_bp=state.uniq_bp + d_bp,
-        amb_sp=amb_sp, amb_bp=amb_bp, amb_seq=amb_seq, amb_n=amb_n,
+        amb_sp=amb_sp, amb_bp=amb_bp, amb_seq=amb_seq, amb_ord=amb_ord,
+        amb_n=amb_n,
         total_alns=state.total_alns + total,
     )
 
@@ -225,7 +240,8 @@ class DistributedSpeciesProfiler(SpeciesProfiler):
         def drain(state):
             spill, n = ds.sliced_spill_host(
                 dict(amb_sp=state.amb_sp, amb_bp=state.amb_bp,
-                     amb_seq=state.amb_seq), state.amb_n, cap)
+                     amb_seq=state.amb_seq, amb_ord=state.amb_ord),
+                state.amb_n, cap)
             if n > cap:
                 raise RuntimeError(
                     f"ambiguous spill staging overflow ({n} > {cap})")
@@ -241,7 +257,7 @@ class DistributedSpeciesProfiler(SpeciesProfiler):
             import jax as _jax
 
             fp = ckpt.fingerprint(
-                kind="species-dist", schema=2,
+                kind="species-dist", schema=3,  # 3: + amb_ord stream rank
                 paths=list(map(str, np.atleast_1d(read_paths))),
                 read_length=read_length, max_reads=max_reads,
                 batch_size=batch_size, aln_cov=self.aln_cov,
@@ -260,18 +276,19 @@ class DistributedSpeciesProfiler(SpeciesProfiler):
                     uniq_bp=jnp.asarray(arrays["uniq_bp"]),
                     total_alns=jnp.asarray(np.int32(arrays["total_alns"])))
                 if arrays["amb_sp"].shape[0]:
-                    drained.append({k: arrays[k]
-                                    for k in ("amb_sp", "amb_bp", "amb_seq")})
+                    drained.append({k: arrays[k] for k in
+                                    ("amb_sp", "amb_bp", "amb_seq",
+                                     "amb_ord")})
                 skip = int(meta["batches_done"])
                 total_reads = int(meta["total_reads"])
                 total_bp = int(meta["total_bp"])
 
         def full_rows():
-            keys = ("amb_sp", "amb_bp", "amb_seq")
+            keys = ("amb_sp", "amb_bp", "amb_seq", "amb_ord")
             if not drained:
-                return {k: np.zeros(
-                    (0, self.tp * al.seed_params.num_cands), np.int32)
-                    for k in keys}
+                return {k: (np.zeros(0, np.int32) if k == "amb_ord" else
+                            np.zeros((0, self.tp * al.seed_params.num_cands),
+                                     np.int32)) for k in keys}
             return {k: np.concatenate([d[k] for d in drained]) for k in keys}
 
         batches = load_read_batches(
@@ -293,9 +310,10 @@ class DistributedSpeciesProfiler(SpeciesProfiler):
                 self.shard_index_arrays, self.shard_pack_arrays,
                 self.shard_seq_base, seq_species, seq_cutoff,
                 codes, lengths, n_reads,
+                np.int32(db.global_index * batch_size),
                 scoring=al.scoring, seed_params=al.seed_params,
                 max_len=al.max_read_len, aln_cov=float(self.aln_cov),
-                n_species=n_species)
+                n_species=n_species, dblen=float(self.pack.total_len))
             rows_bound += db.n_reads
             if rows_bound > cap - batch_size:
                 state = drain(state)
@@ -329,10 +347,12 @@ class DistributedSpeciesProfiler(SpeciesProfiler):
         amb_sp = host["amb_sp"]
         amb_bp = host["amb_bp"]
         amb_seq = host["amb_seq"]
+        amb_ord = host["amb_ord"]
         for r in range(amb_n):
             cols = np.flatnonzero(amb_sp[r] >= 0)
             ambiguous.append((amb_seq[r, cols], amb_sp[r, cols],
-                              amb_bp[r, cols].astype(np.float64)))
+                              amb_bp[r, cols].astype(np.float64),
+                              int(amb_ord[r])))
         self.stats = dict(total_reads=total_reads, total_bp=total_bp,
                           total_alns=int(host["total_alns"]))
         return unique_count, unique_bp, ambiguous

@@ -272,4 +272,24 @@ long mio_next_batch(void* h, long B, long L, int8_t* codes, int8_t* quals,
 
 void mio_close(void* h) { delete (Reader*)h; }
 
+// Scan an ENTIRE file for its longest read — the padded-batch bucket
+// must cover the longest read in the library, and sampling only the
+// file head silently truncated libraries whose long reads appear later
+// (mixed-length or length-sorted input). A dedicated scan loop (no
+// array fills) runs at several million reads/s, so a full pass costs
+// seconds even on 10M-read files. Returns the max length (0 for an
+// empty file), -1 on open failure.
+long mio_max_read_len(const char* path) {
+  Reader r(path, 0, -1);
+  if (!r.lr.ok()) return -1;
+  std::string name, s, q;
+  bool hq;
+  long mx = 0;
+  while (r.next(name, s, q, hq)) {
+    if ((long)s.size() > mx) mx = (long)s.size();
+  }
+  if (r.lr.err) return -1;
+  return mx;
+}
+
 }  // extern "C"

@@ -78,25 +78,38 @@ READ_LEN_BUCKETS = (128, 160, 256, 384, 512)
 def detect_max_read_len(paths, read_length: Optional[int] = None,
                         sample_n: int = 4096, default: int = 128) -> int:
     """Pick the padded read length for a run: the smallest bucket
-    covering the longest of the first sample_n reads. The reference
-    aligns FULL-length reads (midas/run/stream_seqs.py:43-65 trims
-    only on --read_length); a fixed 128 here silently truncated
-    150/250 bp Illumina data. With an explicit read_length the bucket
-    covers exactly that (the stream trims to it anyway). Longer reads
-    seen later in the stream are still counted and warned about
-    (load_read_batches truncation warning)."""
+    covering the longest read. The reference aligns FULL-length reads
+    (midas/run/stream_seqs.py:43-65 trims only on --read_length); a
+    fixed 128 here silently truncated 150/250 bp Illumina data. With an
+    explicit read_length the bucket covers exactly that (the stream
+    trims to it anyway).
+
+    Detection scans the ENTIRE file through the native reader
+    (mio_max_read_len, millions of reads/s) so length-sorted or
+    mixed-length libraries whose long reads appear late cannot pick a
+    too-small bucket; without the native reader it falls back to the
+    first sample_n reads (later longer reads are then counted and
+    warned about — load_read_batches truncation warning)."""
     if read_length:
         longest = int(read_length)
     else:
-        from midas_tpu.io.seqio import stream_reads
-
         path_list = ([str(paths)] if isinstance(paths, (str, os.PathLike))
                      else [str(p) for p in paths])
         longest = 0
-        for i, (_name, seq, _q) in enumerate(stream_reads(path_list)):
-            longest = max(longest, len(seq))
-            if i + 1 >= sample_n:
-                break
+        scannable = [p for p in path_list if not p.endswith(".bz2")]
+        if scannable == path_list:
+            from midas_tpu.io.native import native_max_read_len
+
+            got = native_max_read_len(path_list)
+            if got is not None:
+                longest = got
+        if longest == 0:
+            from midas_tpu.io.seqio import stream_reads
+
+            for i, (_name, seq, _q) in enumerate(stream_reads(path_list)):
+                longest = max(longest, len(seq))
+                if i + 1 >= sample_n:
+                    break
         if longest == 0:
             longest = default
     for b in READ_LEN_BUCKETS:

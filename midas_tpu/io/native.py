@@ -81,8 +81,26 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.mio_close.argtypes = [ctypes.c_void_p]
         lib.mio_truncated.restype = ctypes.c_long
         lib.mio_truncated.argtypes = [ctypes.c_void_p]
+        lib.mio_max_read_len.restype = ctypes.c_long
+        lib.mio_max_read_len.argtypes = [ctypes.c_char_p]
         _LIB = lib
         return _LIB
+
+
+def native_max_read_len(paths) -> Optional[int]:
+    """Longest read across the given files via a full native scan
+    (mio_max_read_len); None when the native reader is unavailable or
+    any file fails to parse (callers fall back to head sampling)."""
+    lib = load_native()
+    if lib is None:
+        return None
+    mx = 0
+    for p in paths:
+        n = lib.mio_max_read_len(str(p).encode())
+        if n < 0:
+            return None
+        mx = max(mx, int(n))
+    return mx
 
 
 class NativeBatcher:

@@ -20,15 +20,23 @@ import numpy as np
 
 class DeviceBatch:
     """One uploaded batch: device arrays + the host-side bookkeeping the
-    profilers need (counts for totals; names stay host-only)."""
+    profilers need (counts for totals; names stay host-only).
 
-    __slots__ = ("n_reads", "total_bp", "arrays", "index")
+    index is the batch's position in THIS consumer's stream (checkpoint
+    bookkeeping counts consumed batches); global_index is its position
+    in the SHARED single-process stream — they differ only under
+    multi-host batch striding (dist/driver.stride_batches tags it), and
+    it keys the ambiguous-read stream-order merge."""
 
-    def __init__(self, n_reads: int, total_bp: int, arrays: tuple, index: int):
+    __slots__ = ("n_reads", "total_bp", "arrays", "index", "global_index")
+
+    def __init__(self, n_reads: int, total_bp: int, arrays: tuple, index: int,
+                 global_index: int = None):
         self.n_reads = n_reads
         self.total_bp = total_bp
         self.arrays = arrays
         self.index = index
+        self.global_index = index if global_index is None else global_index
 
 
 def prefetch_device_batches(
@@ -90,7 +98,8 @@ def prefetch_device_batches(
                     jax.device_put(getattr(batch, f)) for f in fields
                 ) + (jax.device_put(np.int32(batch.n_reads)),)
                 total_bp = int(batch.lengths[: batch.n_reads].sum())
-                if not _put(DeviceBatch(batch.n_reads, total_bp, arrays, bi)):
+                if not _put(DeviceBatch(batch.n_reads, total_bp, arrays, bi,
+                                        getattr(batch, "global_index", bi))):
                     return
             _put(END)
         except BaseException as e:  # noqa: BLE001 - re-raised in consumer

@@ -223,13 +223,18 @@ def paired_best_hit_device(
     flat = pair_sc.reshape(Pn, C * C)
     # canonical pair arbitration (see canonical_best_col): among
     # equal-best concordant pairs pick the smallest (seq, t1start,
-    # t2start) so tie resolution is pool-order independent
+    # t2start, strand1) so tie resolution is pool-order independent.
+    # The strand plane closes the degenerate case of two equal-score
+    # pairings with identical coordinates and swapped mate strands,
+    # which would otherwise fall back to pool-order argmax (a hole in
+    # the tp>1 bit-equality guarantee).
     BIG = jnp.int32(2**31 - 1)
     pair_best0 = jnp.max(flat, axis=1)
     isb = (flat == pair_best0[:, None]) & (flat > NEG_INF / 2)
     for plane in (jnp.broadcast_to(seq1[:, :, None], (Pn, C, C)),
                   jnp.broadcast_to(t1s[:, :, None], (Pn, C, C)),
-                  jnp.broadcast_to(t2s[:, None, :], (Pn, C, C))):
+                  jnp.broadcast_to(t2s[:, None, :], (Pn, C, C)),
+                  jnp.broadcast_to(st1[:, :, None], (Pn, C, C))):
         v = jnp.where(isb, plane.reshape(Pn, C * C).astype(jnp.int32), BIG)
         isb = isb & (v == jnp.min(v, axis=1)[:, None])
     best_flat = jnp.argmax(isb, axis=1).astype(jnp.int32)
@@ -348,6 +353,13 @@ class SpeciesState:
     #                           subject-index order — measured on the real
     #                           binary — and the reference's RNG draw
     #                           consumes ids in that order, species.py:104-119)
+    amb_ord: jnp.ndarray      # [CAP+1] i32 global stream rank of the read
+    #                           (batch_global_index * batch_size + row): the
+    #                           reference consumes its RNG draws in stream
+    #                           order (species.py:104-119), so a multi-host
+    #                           merge must SORT rows by this key before
+    #                           assignment to stay byte-identical to a
+    #                           single-process run (dist/driver.py)
     amb_n: jnp.ndarray        # scalar i32 (true count, may exceed CAP)
     total_alns: jnp.ndarray   # scalar i32
 
@@ -359,6 +371,7 @@ def species_init(n_species: int, num_cands: int, amb_cap: int) -> SpeciesState:
         amb_sp=jnp.full((amb_cap + 1, num_cands), -1, jnp.int32),
         amb_bp=jnp.zeros((amb_cap + 1, num_cands), jnp.int32),
         amb_seq=jnp.zeros((amb_cap + 1, num_cands), jnp.int32),
+        amb_ord=jnp.zeros(amb_cap + 1, jnp.int32),
         amb_n=jnp.zeros((), jnp.int32),
         total_alns=jnp.zeros((), jnp.int32),
     )
@@ -366,7 +379,8 @@ def species_init(n_species: int, num_cands: int, amb_cap: int) -> SpeciesState:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scoring", "seed_params", "max_len", "aln_cov", "n_species"),
+    static_argnames=("scoring", "seed_params", "max_len", "aln_cov",
+                     "n_species", "dblen"),
     donate_argnames=("state",),
 )
 def species_update(
@@ -378,14 +392,19 @@ def species_update(
     codes: jnp.ndarray,
     qlens: jnp.ndarray,
     n_reads: jnp.ndarray,       # scalar i32: real rows in this batch
+    ord_base: jnp.ndarray,      # scalar i32: global stream rank of row 0
     scoring: ScoringParams,
     seed_params: SeedParams,
     max_len: int,
     aln_cov: float,
     n_species: int,
+    dblen: float = 0.0,
 ) -> SpeciesState:
     """One batch of the species classifier, entirely on device
-    (reference semantics: species.py:64-119)."""
+    (reference semantics: species.py:64-119). dblen > 0 enables the
+    hs-blastn `-evalue 1e-3` gate (the binary pre-thresholds the m8
+    the reference parses, midas/run/species.py:39-46) as a per-read
+    minimum score (ScoringParams.evalue_score_threshold)."""
     out = _align_batch_stages(index_arrays, pack_arrays,
                               codes, qlens, scoring, seed_params, max_len)
     B, C = out["score"].shape
@@ -397,6 +416,10 @@ def species_update(
     qcov = aln.astype(jnp.float32) / jnp.maximum(qlens[:, None].astype(jnp.float32), 1.0)
     keep = (out["valid"] & (out["score"] > 0) & (pid >= cutoff)
             & (qcov >= aln_cov) & real[:, None])
+    if dblen > 0:
+        ethr = scoring.evalue_score_threshold(
+            jnp.maximum(qlens, 1), float(dblen))
+        keep = keep & (out["score"] >= ethr[:, None])
     scores = jnp.where(keep, out["score"], NEG_INF)
     best = jnp.max(scores, axis=1)
     has_hit = best > NEG_INF / 2
@@ -415,15 +438,18 @@ def species_update(
     amb_sp_rows = jnp.where(best_mask, sp, -1)
     amb_bp_rows = jnp.where(best_mask, aln, 0)
     amb_seq_rows = jnp.where(best_mask, out["seq_idx"], 0)
+    amb_ord_rows = ord_base + jnp.arange(B, dtype=jnp.int32)
     amb_sp, _ = _append_rows(state.amb_sp, state.amb_n, amb_sp_rows, amb_row)
     amb_bp, _ = _append_rows(state.amb_bp, state.amb_n, amb_bp_rows, amb_row)
-    amb_seq, amb_n = _append_rows(state.amb_seq, state.amb_n, amb_seq_rows,
+    amb_seq, _ = _append_rows(state.amb_seq, state.amb_n, amb_seq_rows,
+                              amb_row)
+    amb_ord, amb_n = _append_rows(state.amb_ord, state.amb_n, amb_ord_rows,
                                   amb_row)
 
     total_alns = state.total_alns + jnp.sum(
         (out["valid"] & real[:, None]).astype(jnp.int32))
-    return SpeciesState(uniq_count, uniq_bp, amb_sp, amb_bp, amb_seq, amb_n,
-                        total_alns)
+    return SpeciesState(uniq_count, uniq_bp, amb_sp, amb_bp, amb_seq, amb_ord,
+                        amb_n, total_alns)
 
 
 def species_state_host(state: SpeciesState) -> Dict[str, np.ndarray]:
@@ -434,7 +460,8 @@ def species_state_host(state: SpeciesState) -> Dict[str, np.ndarray]:
     cap = state.amb_sp.shape[0] - 1
     spill, amb_n = sliced_spill_host(
         dict(amb_sp=state.amb_sp, amb_bp=state.amb_bp,
-             amb_seq=state.amb_seq), state.amb_n, cap)
+             amb_seq=state.amb_seq, amb_ord=state.amb_ord),
+        state.amb_n, cap)
     small = jax.device_get(dict(uniq_count=state.uniq_count,
                                 uniq_bp=state.uniq_bp,
                                 total_alns=state.total_alns))
@@ -456,6 +483,7 @@ def species_state_restore(h: Dict[str, np.ndarray], amb_cap: int) -> SpeciesStat
         amb_sp=st.amb_sp.at[:rows].set(jnp.asarray(h["amb_sp"])),
         amb_bp=st.amb_bp.at[:rows].set(jnp.asarray(h["amb_bp"])),
         amb_seq=st.amb_seq.at[:rows].set(jnp.asarray(h["amb_seq"])),
+        amb_ord=st.amb_ord.at[:rows].set(jnp.asarray(h["amb_ord"])),
         amb_n=jnp.asarray(np.int32(h["amb_n"])),
         total_alns=jnp.asarray(np.int32(h["total_alns"])),
     )
@@ -496,6 +524,7 @@ def genes_update(
     pack_arrays: Dict[str, jnp.ndarray],
     num_genes: int,
     codes: jnp.ndarray,
+    quals: jnp.ndarray,         # [B, L] i8 (bowtie2 quality-scaled --mp)
     qlens: jnp.ndarray,
     mean_qual: jnp.ndarray,     # [B] f32
     n_reads: jnp.ndarray,
@@ -517,7 +546,7 @@ def genes_update(
     results (scores identical, stats recomputed exactly; tested)."""
     out1, aux = align_candidates_score(index_arrays, pack_arrays,
                                        codes, qlens, scoring, seed_params,
-                                       max_len)
+                                       max_len, quals=quals)
     B = out1["score"].shape[0]
     G = num_genes
     real = jnp.arange(B) < n_reads
@@ -599,12 +628,30 @@ def counts_host(counts: jnp.ndarray) -> np.ndarray:
     return np.asarray(h).astype(np.int32)
 
 
-def snps_state_host(state: SnpsState) -> Dict[str, np.ndarray]:
+def snps_state_host(state: SnpsState,
+                    counts_async: bool = False) -> Dict[str, np.ndarray]:
     """Host snapshot; gap spill buffers sliced to occupied rows (the
     full [CAP+1, L] buffers measured 157 s to read over the tunnel vs
     1 s sliced — this readback was the entire SNP-pipeline slowdown in
-    rounds 1-2) and the counts tensor pulled through the narrowest
-    exact dtype (counts_host)."""
+    rounds 1-2) and the counts tensor pulled through the sparse
+    run-encoded readback (profile/sparse_counts.py — at Mb-scale
+    genomes the dense [4 x G] pull dominated whole runs over the
+    ~1-25 MB/s tunnel, SCALE_BENCH.md).
+
+    With counts_async=True, out["counts"] is a concurrent Future whose
+    result() is the array — the end-of-stream caller overlaps the
+    transfer with the host gapped-read oracle (resolve_counts)."""
+    from midas_tpu.profile.sparse_counts import counts_host_sparse
+
+    G = state.counts.shape[0] // 4 - 1
+    if counts_async:
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(1)
+        counts_out = ex.submit(counts_host_sparse, state.counts, G)
+        ex.shutdown(wait=False)
+    else:
+        counts_out = counts_host_sparse(state.counts, G)
     cap = state.gap_codes.shape[0] - 1
     spill, gap_n = sliced_spill_host(
         dict(gap_codes=state.gap_codes, gap_quals=state.gap_quals,
@@ -612,14 +659,17 @@ def snps_state_host(state: SnpsState) -> Dict[str, np.ndarray]:
     small = jax.device_get(dict(aligned_reads=state.aligned_reads,
                                 mapped_reads=state.mapped_reads))
     out = {k: np.asarray(v) for k, v in small.items()}
-    # zero the dump slot (flat index G collects every masked-out
-    # base observation, so it dwarfs 2^15 after one batch and would
-    # defeat the dtype tiering; _finalize never reads it)
-    G = state.counts.shape[0] // 4 - 1
-    out["counts"] = counts_host(state.counts.at[G].set(0))
+    out["counts"] = counts_out
     out.update(spill)
     out["gap_n"] = np.int64(gap_n)
     return out
+
+
+def resolve_counts(counts) -> np.ndarray:
+    """Resolve a (possibly async) snps_state_host counts field."""
+    if hasattr(counts, "result"):
+        return np.asarray(counts.result())
+    return np.asarray(counts)
 
 
 def snps_state_restore(h: Dict[str, np.ndarray], gap_cap: int) -> SnpsState:
@@ -675,7 +725,7 @@ def snps_update(
     candidates, full stats only for the chosen one."""
     out1, aux = align_candidates_score(index_arrays, pack_arrays,
                                        codes, qlens, scoring, seed_params,
-                                       max_len)
+                                       max_len, quals=quals)
     B, L = codes.shape
     # genome length from the counts buffer, NOT the pack length:
     # the pack carries a GUARD pad beyond total_len (refpack.py)

@@ -124,13 +124,13 @@ class GenesProfiler:
         if getattr(self, "_batch_filter", None):
             batches = self._batch_filter(batches)  # multi-host striding
         for db in prefetch_device_batches(
-                batches, ("codes", "lengths", "mean_qual"),
+                batches, ("codes", "quals", "lengths", "mean_qual"),
                 trim=trim, skip_batches=skip):
             last_index = db.index
-            codes, lengths, mean_qual, n_reads = db.arrays
+            codes, quals, lengths, mean_qual, n_reads = db.arrays
             state = ds.genes_update(
                 state, al.index_arrays, al.pack_arrays,
-                G, codes, lengths, mean_qual, n_reads,
+                G, codes, quals, lengths, mean_qual, n_reads,
                 scoring=al.scoring, seed_params=al.seed_params,
                 max_len=al.max_read_len, mapid=float(self.mapid),
                 readq=float(self.readq), min_mapq=int(self.mapq),

@@ -154,9 +154,12 @@ class SnpsProfiler:
                 ckpt.save(checkpoint_path, h,
                           dict(fingerprint=fp, batches_done=db.index + 1,
                                guard=self._guard()))
-        host = ds.snps_state_host(state)
+        # end-of-stream snapshot: the counts transfer rides a background
+        # thread so _finalize's host oracle work overlaps it
+        host = ds.snps_state_host(state, counts_async=True)
         overflow_check(int(host["gap_n"]), -1)
         if checkpoint_path:
+            host["counts"] = ds.resolve_counts(host["counts"])
             ckpt.save(checkpoint_path, host,
                       dict(fingerprint=fp, batches_done=last_index + 1,
                            guard=self._guard()))
@@ -186,20 +189,24 @@ class SnpsProfiler:
         return self._finalize(got[0])
 
     def _finalize(self, host: Dict) -> Dict:
+        from midas_tpu.profile import device_steps as ds
+
         G = self.pack.total_len
         S = len(self.species_ids)
-        counts = np.asarray(host["counts"]).reshape(4, G + 1)[:, :G].copy()
         aligned_reads = np.asarray(host["aligned_reads"][:S]).astype(np.int64)
         mapped_reads = np.asarray(host["mapped_reads"][:S]).astype(np.int64)
 
         # exact host traceback for the spilled gapped reads — batched
         # wavefront oracle (align_oracle_batch): the scalar per-read DP
-        # costs ~25 ms each and dominated end-of-stream time
+        # costs ~25 ms each and dominated end-of-stream time. Runs
+        # BEFORE resolving the counts transfer so the oracle DP
+        # overlaps the (possibly still in-flight) D2H pull.
         n_gapped = int(host["gap_n"])
         gap_codes = np.asarray(host["gap_codes"])
         gap_quals = np.asarray(host["gap_quals"])
         gap_meta = np.asarray(host["gap_meta"])
-        queries, windows, los = [], [], []
+        queries, windows, los, qpens = [], [], [], []
+        scoring = self.aligner.scoring
         for r in range(gap_codes.shape[0]):
             ci, tstart, tend, qlen = (int(x) for x in gap_meta[r])
             seq_lo = int(self.pack.offsets[ci])
@@ -208,15 +215,27 @@ class SnpsProfiler:
             queries.append(gap_codes[r, :qlen])
             windows.append(self.pack.codes[lo:hi])
             los.append(lo)
-        for r, a in enumerate(align_oracle_batch(queries, windows,
-                                                 self.aligner.scoring)):
+            if scoring.qual_scaled:
+                # the spilled quals are already strand-adjusted like the
+                # codes; same --mp table the device DP scored with
+                q = np.minimum(gap_quals[r, :qlen].astype(np.int64), 40)
+                mx, mn = -scoring.mismatch, scoring.mm_min
+                qpens.append(mn + ((mx - mn) * q) // 40)
+        adds = []
+        for r, a in enumerate(align_oracle_batch(
+                queries, windows, scoring,
+                qpens=qpens if scoring.qual_scaled else None)):
             qlen = len(queries[r])
             m = a.qpos_to_tpos(qlen)
             qpos = np.flatnonzero(m >= 0)
             tpos = los[r] + m[qpos]
             base = gap_codes[r, qpos]
             mask = (gap_quals[r, qpos] >= self.baseq) & (base < 4)
-            np.add.at(counts, (base[mask], tpos[mask]), 1)
+            adds.append((base[mask], tpos[mask]))
+        counts = ds.resolve_counts(host["counts"])
+        counts = counts.reshape(4, G + 1)[:, :G].copy()
+        for base, tpos in adds:
+            np.add.at(counts, (base, tpos), 1)
 
         self.counts = counts
         self.stats = dict(aligned_reads=aligned_reads, mapped_reads=mapped_reads,

@@ -112,6 +112,18 @@ class SpeciesProfiler:
         which all see the same merged inputs)."""
         n_species = len(self.species_order)
 
+        # Rows must be consumed in GLOBAL STREAM ORDER — the reference
+        # draws its RNG choices sequentially while parsing the m8 stream
+        # (species.py:104-119), so a multi-host merge (process-major row
+        # concatenation, dist/driver.py) must be re-sorted by each row's
+        # carried stream rank before the draws are consumed. Items are
+        # (seq_ids, sp_ids, alns[, ord]); 3-tuples (synthetic tests,
+        # pre-ord checkpoints) keep their list position as the key.
+        ambiguous = [
+            (t[0], t[1], t[2], (int(t[3]) if len(t) > 3 else r))
+            for r, t in enumerate(ambiguous)]
+        ambiguous.sort(key=lambda t: t[3])
+
         # probabilistic assignment of ambiguous reads (species.py:104-119),
         # vectorized: the reference draws one np.random.choice per read
         # with weights from the FIXED unique counts, so every draw is
@@ -139,12 +151,12 @@ class SpeciesProfiler:
             # index makes the seeded draw byte-identical to the
             # reference no matter which classifier produced the row
             # (host, single-chip device, or the dp x tp distributed path).
-            widths = np.fromiter((len(s) for _q, s, _a in ambiguous),
+            widths = np.fromiter((len(t[1]) for t in ambiguous),
                                  count=n_amb, dtype=np.int64)
             wmax = int(widths.max())
             sp_m = np.zeros((n_amb, wmax), dtype=np.int64)
             aln_m = np.zeros((n_amb, wmax), dtype=np.float64)
-            for r, (seq_ids, sp_ids, alns) in enumerate(ambiguous):
+            for r, (seq_ids, sp_ids, alns, _ord) in enumerate(ambiguous):
                 o = np.argsort(seq_ids, kind="stable")
                 sp_m[r, : len(sp_ids)] = sp_ids[o]
                 aln_m[r, : len(alns)] = alns[o]
@@ -204,11 +216,11 @@ class SpeciesProfiler:
         ambiguous: List[Tuple[np.ndarray, np.ndarray]] = []
         total_reads = total_bp = total_alns = 0
         with open(m8_path, "w") as m8:
-            for batch in load_read_batches(
+            for bi, batch in enumerate(load_read_batches(
                 read_paths, batch_size=batch_size,
                 max_len=self.aligner.max_read_len,
                 read_length=read_length, max_reads=max_reads,
-            ):
+            )):
                 total_reads += batch.n_reads
                 total_bp += int(batch.lengths[: batch.n_reads].sum())
                 res = self.aligner.align_batch(batch)
@@ -218,8 +230,13 @@ class SpeciesProfiler:
                     np.clip(res.seq_idx, 0, len(self.seq_cutoff) - 1)]
                 qlens = np.asarray(batch.lengths)[:, None]
                 qcov = aln / np.maximum(qlens, 1)
+                # hs-blastn's -evalue 1e-3 gate, as a per-read score
+                # floor (device twin: species_update's dblen gate)
+                ethr = MARKER_SCORING.evalue_score_threshold(
+                    np.maximum(qlens, 1).astype(np.float64),
+                    float(self.pack.total_len))
                 keep = (res.valid & (res.score > 0) & (pid >= cutoff)
-                        & (qcov >= self.aln_cov))
+                        & (qcov >= self.aln_cov) & (res.score >= ethr))
                 total_alns += int(res.valid.sum())
                 self._write_m8(m8, batch, res)
                 scores = np.where(keep, res.score, -np.inf)
@@ -237,7 +254,8 @@ class SpeciesProfiler:
                         unique_bp[sp_of[i, c]] += aln[i, c]
                     else:
                         ambiguous.append((res.seq_idx[i, cols],
-                                          sp_of[i, cols], aln[i, cols]))
+                                          sp_of[i, cols], aln[i, cols],
+                                          bi * batch_size + int(i)))
         self.stats = dict(total_reads=total_reads, total_bp=total_bp,
                           total_alns=total_alns)
         return unique_count, unique_bp, ambiguous
@@ -285,7 +303,8 @@ class SpeciesProfiler:
             """Pull occupied spill rows to host, reset the device cursor."""
             spill, n = ds.sliced_spill_host(
                 dict(amb_sp=state.amb_sp, amb_bp=state.amb_bp,
-                     amb_seq=state.amb_seq), state.amb_n, cap)
+                     amb_seq=state.amb_seq, amb_ord=state.amb_ord),
+                state.amb_n, cap)
             if n > cap:
                 raise RuntimeError(
                     f"ambiguous spill staging overflow ({n} > {cap}); "
@@ -295,15 +314,16 @@ class SpeciesProfiler:
             return _dc.replace(state, amb_n=jnp.zeros((), jnp.int32))
 
         def full_rows() -> Dict[str, np.ndarray]:
-            keys = ("amb_sp", "amb_bp", "amb_seq")
+            keys = ("amb_sp", "amb_bp", "amb_seq", "amb_ord")
             if not drained:
-                return {k: np.zeros((0, al.seed_params.num_cands),
-                                    dtype=np.int32) for k in keys}
+                return {k: (np.zeros(0, np.int32) if k == "amb_ord" else
+                            np.zeros((0, al.seed_params.num_cands),
+                                     dtype=np.int32)) for k in keys}
             return {k: np.concatenate([d[k] for d in drained]) for k in keys}
 
         if checkpoint_path:
             fp = ckpt.fingerprint(
-                kind="species", schema=2,  # schema 2: + amb_seq buffer
+                kind="species", schema=3,  # schema 3: + amb_ord stream rank
                 paths=list(map(str, np.atleast_1d(read_paths))),
                 read_length=read_length, max_reads=max_reads,
                 batch_size=batch_size, aln_cov=self.aln_cov,
@@ -322,8 +342,9 @@ class SpeciesProfiler:
                     uniq_bp=jnp.asarray(arrays["uniq_bp"]),
                     total_alns=jnp.asarray(np.int32(arrays["total_alns"])))
                 if arrays["amb_sp"].shape[0]:
-                    drained.append({k: arrays[k]
-                                    for k in ("amb_sp", "amb_bp", "amb_seq")})
+                    drained.append({k: arrays[k] for k in
+                                    ("amb_sp", "amb_bp", "amb_seq",
+                                     "amb_ord")})
                 skip = int(meta["batches_done"])
                 total_reads = int(meta["total_reads"])
                 total_bp = int(meta["total_bp"])
@@ -346,9 +367,10 @@ class SpeciesProfiler:
             state = ds.species_update(
                 state, al.index_arrays, al.pack_arrays,
                 seq_species, seq_cutoff, codes, lengths, n_reads,
+                np.int32(db.global_index * batch_size),
                 scoring=al.scoring, seed_params=al.seed_params,
                 max_len=al.max_read_len, aln_cov=float(self.aln_cov),
-                n_species=n_species)
+                n_species=n_species, dblen=float(self.pack.total_len))
             rows_bound += db.n_reads
             if rows_bound > cap - batch_size:
                 state = drain(state)
@@ -382,10 +404,12 @@ class SpeciesProfiler:
         amb_sp = host["amb_sp"]
         amb_bp = host["amb_bp"]
         amb_seq = host["amb_seq"]
+        amb_ord = host["amb_ord"]
         for r in range(amb_n):
             cols = np.flatnonzero(amb_sp[r] >= 0)
             ambiguous.append((amb_seq[r, cols], amb_sp[r, cols],
-                              amb_bp[r, cols].astype(np.float64)))
+                              amb_bp[r, cols].astype(np.float64),
+                              int(amb_ord[r])))
         self.stats = dict(total_reads=total_reads, total_bp=total_bp,
                           total_alns=int(host["total_alns"]))
         return unique_count, unique_bp, ambiguous
@@ -404,6 +428,12 @@ class SpeciesProfiler:
                 raw = float(res.score[i, c])
                 bits = MARKER_SCORING.bitscore(raw)
                 ev = MARKER_SCORING.evalue(raw, qlen, dblen)
+                if ev > 1e-3:
+                    # hs-blastn's -evalue 1e-3 emission gate
+                    # (midas/run/species.py:39-46); immaterial above
+                    # ~25 bp, but our 14-mer seeds can hit fragments
+                    # the binary's 28 bp word size never reports
+                    continue
                 strand = int(res.strand[i, c])
                 ts, te = int(res.tstart[i, c]) + 1, int(res.tend[i, c])
                 if strand:  # minus strand: m8 swaps target coords

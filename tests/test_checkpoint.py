@@ -243,8 +243,9 @@ def test_sliced_spill_host_roundtrip():
         uniq_count=st.uniq_count.at[1].add(7),
         uniq_bp=st.uniq_bp, amb_sp=st.amb_sp.at[:3].set(rows),
         amb_bp=st.amb_bp.at[:3].set(rows),
-        amb_seq=st.amb_seq.at[:3].set(rows + 1), amb_n=jnp.int32(3),
-        total_alns=jnp.int32(9))
+        amb_seq=st.amb_seq.at[:3].set(rows + 1),
+        amb_ord=st.amb_ord.at[:3].set(jnp.arange(3, dtype=jnp.int32)),
+        amb_n=jnp.int32(3), total_alns=jnp.int32(9))
     h = ds.species_state_host(st)
     assert h["amb_sp"].shape == (3, 4)
     assert int(h["amb_n"]) == 3

@@ -103,7 +103,10 @@ def test_snps_device_equals_host(sim_community, noisy_reads):
             else:
                 lo = max(seq_lo + int(r.tstart[i, c]) - 8, 0)
                 hi = min(seq_lo + int(r.tend[i, c]) + 8, G)
-                al = align_oracle(q[:n], prof.pack.codes[lo:hi], GLOBAL_SCORING)
+                qp = np.array([GLOBAL_SCORING.mismatch_penalty(int(x))
+                               for x in qq[:n]])
+                al = align_oracle(q[:n], prof.pack.codes[lo:hi],
+                                  GLOBAL_SCORING, qpen=qp)
                 m = al.qpos_to_tpos(n)
                 qpos = np.flatnonzero(m >= 0)
                 tpos = lo + m[qpos]

@@ -1,13 +1,12 @@
 """Distributed genes/snps profilers (dist/profilers.py) on the virtual
 8-device CPU mesh.
 
-With tp=1 the gathered candidate table equals the single-chip table, so
-outputs must be BIT-identical at any dp. With tp>1 the per-shard top-C
-candidate pools are supersets of the single-chip pool, so equal-scoring
-multimapper arbitration can differ; we assert the pileup/count tensors
-agree at the >=99.5% level and totals match closely (same
-nondeterminism class as the reference's unseeded RNG and bowtie2's
-multimapper arbitration — see module docstring there)."""
+Outputs are asserted BIT-EQUAL to the single-chip profilers at every
+dp x tp tested: with tp=1 the gathered candidate table equals the
+single-chip table, and with tp>1 the canonical multimapper tie-break
+(score, then global seq_idx/tstart/strand —
+device_steps.canonical_best_col) resolves equal-score hits identically
+no matter which shard drew them."""
 
 import jax
 import numpy as np

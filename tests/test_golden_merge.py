@@ -80,7 +80,14 @@ def test_merge_snps_matches_reference(three_samples, sim_community,
     else:
         site = dict(snp_type=["bi"], allele_freq=0.01, site_depth=1,
                     site_ratio=2.0, site_prev=0.95)
-    common = dict(sample_depth=0.0, fract_cov=0.0, min_samples=1, **site)
+    # sample_depth 0.01, not 0.0: a sample with ZERO coverage of a
+    # species (sample 2 x the related species, whose borderline reads
+    # the bowtie2-faithful quality-scaled MAPQ now rejects) makes the
+    # REFERENCE divide by zero at site_depth/mean_depth
+    # (midas/merge/snps.py:99) when site_depth=0 lets the site reach
+    # the ratio test. Any positive sample_depth filters such samples
+    # the way the reference's real default (5.0) always would.
+    common = dict(sample_depth=0.01, fract_cov=0.0, min_samples=1, **site)
     ours = str(tmp_path / "ours")
     merge_snps.run_pipeline(dict(
         indirs=three_samples, outdir=ours, db=sim_community.db_dir,
@@ -90,7 +97,7 @@ def test_merge_snps_matches_reference(three_samples, sim_community,
         snp_type=tuple(site["snp_type"]),
         allele_freq=site["allele_freq"], site_depth=site["site_depth"],
         site_ratio=site["site_ratio"], site_prev=site["site_prev"],
-        sample_depth=0.0, fract_cov=0.0, min_samples=1)
+        sample_depth=0.01, fract_cov=0.0, min_samples=1)
     ref_species = [d for d in os.listdir(ref)
                    if os.path.isdir(os.path.join(ref, d))]
     assert ref_species, "reference merge produced no species"

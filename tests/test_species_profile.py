@@ -113,7 +113,7 @@ def test_tie_cap_sufficient_on_related_species(tmp_path):
     db = Database(comm.db_dir)
     prof8 = SpeciesProfiler(db)  # default num_cands=8
     got8 = prof8.run([fq], batch_size=128)
-    widths = [len(s) for _q, s, _a in
+    widths = [len(t[1]) for t in
               prof8._run_device([fq], None, None, 128)[2]]
     prof16 = SpeciesProfiler(db, seed_params=SeedParams(num_cands=16,
                                                         max_hits=32))
