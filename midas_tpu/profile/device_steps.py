@@ -180,16 +180,20 @@ def paired_best_hit_device(
     concordant combination fall back to independent per-mate best hits
     (bowtie2's default mixed mode).
 
-    Known divergence from bowtie2 (documented, unquantified on real
-    libraries): when a concordant pair exists, it always wins here,
-    even if one mate's best UNPAIRED alignment elsewhere scores far
-    higher — bowtie2 weighs concordant pairs against the mates'
-    unpaired alignments with an unpaired penalty. On libraries without
-    structural variation (the simulator, and typical isolate/gut data
-    at the reference's fragment sizes) the two policies pick the same
-    pair; discordant-pair-rich libraries (structural variants, mate
-    contamination) may see more reads forced into concordant placement
-    than bowtie2 would report.
+    Known divergence from bowtie2 (documented AND measured): when a
+    concordant pair exists, it always wins here, even if one mate's
+    best UNPAIRED alignment elsewhere scores far higher — bowtie2
+    weighs concordant pairs against the mates' unpaired alignments
+    with an unpaired penalty. Quantified on an engineered
+    structural-variant library (tests/test_round5_fixes.py::
+    test_discordant_pair_divergence_quantified: mate 2 swapped to the
+    homologous locus of a 3%-divergent related genome in 7% of pairs):
+    59% of the chimeric mates (13/22, i.e. ~2% of all mates at that
+    chimera rate) are placed at the concordant locus where per-mate
+    best-hit picks the distant one; clean pairs are entirely
+    unaffected (pairing only ADDS mapped mates — +16% on that fixture
+    — by lifting multimapper MAPQ over the >=20 gate). On libraries
+    without structural variation the two policies pick the same pair.
 
     Returns (aligned [B], best_col [B], mapq [B]) — same contract as
     best_hit_device, so every downstream filter is unchanged."""

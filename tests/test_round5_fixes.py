@@ -254,29 +254,29 @@ def test_discordant_pair_divergence_quantified(sim_community, tmp_path):
     db = Database(comm.db_dir)
     sel = [spA.species_id, spB.species_id]
 
-    def paired_vs_unpaired_moves(path):
-        """Σ|mapped_paired − mapped_unpaired| over species — placement
-        plus MAPQ-gate movement between the two policies."""
-        got_p = SnpsProfiler(db, sel).run([path], batch_size=256,
-                                          paired=True, interleaved=True)
-        got_u = SnpsProfiler(db, sel).run([path], batch_size=256)
-        return int(np.abs(got_p["mapped_reads"].astype(np.int64)
-                          - got_u["mapped_reads"].astype(np.int64)).sum())
+    def mapped(path, paired):
+        prof = SnpsProfiler(db, sel)
+        got = prof.run([path], batch_size=256, paired=paired,
+                       interleaved=paired)
+        return got["mapped_reads"].astype(np.int64)
 
     clean = str(tmp_path / "clean.fq.gz")
     chim = str(tmp_path / "chimeric.fq.gz")
     write_lib(clean, with_chimeras=False)
     write_lib(chim, with_chimeras=True)
-    base = paired_vs_unpaired_moves(clean)     # pair-MAPQ effects only
-    got = paired_vs_unpaired_moves(chim)
-    excess = got - base
-    # only the chimeric mates can add movement beyond the clean
-    # baseline, and each moved mate perturbs two species counters
-    assert excess <= 2 * n_chim + 2, (excess, n_chim, base, got)
-    # and the engineered case is not vacuous: chimeras DO move — the
-    # concordant-priority policy really forces placements a per-mate
-    # best-hit policy would put elsewhere
-    assert excess > 0, (base, got, n_chim)
+    # clean pairs: neither policy puts anything on the related genome
+    assert mapped(clean, True)[1] == 0
+    assert mapped(clean, False)[1] == 0
+    # chimeric mates: per-mate best-hit places a fraction on their true
+    # (related-genome) locus; the concordant-priority policy forces
+    # every one of them back to the concordant placement. Measured with
+    # this fixture (7% chimeric pairs, 3% divergence): 13 of 22
+    # chimeric mates move — the number documented in
+    # paired_best_hit_device's docstring.
+    moved_unpaired = int(mapped(chim, False)[1])
+    moved_paired = int(mapped(chim, True)[1])
+    assert moved_paired == 0, moved_paired
+    assert 0 < moved_unpaired <= n_chim, (moved_unpaired, n_chim)
 
 
 def test_evalue_gate_drops_subthreshold_short_hits(sim_community):
@@ -325,6 +325,36 @@ def test_evalue_gate_drops_subthreshold_short_hits(sim_community):
     assert run(0.0) == 4
     assert float(MARKER_SCORING.evalue_score_threshold(20, 1e9)) > 40
     assert run(1e9) == 0
+
+
+def test_split_reads_round_robin(tmp_path):
+    """split_reads (the multi-host input-sharding escape hatch): byte-
+    exact record dealing, round-robin, with --paired keeping interleaved
+    mates together."""
+    from midas_tpu.cli.split_reads import split_reads
+
+    fq = str(tmp_path / "in.fq.gz")
+    with gzip.open(fq, "wt") as f:
+        for i in range(10):
+            f.write(f"@r{i}/1\nACGT\n+\nIIII\n@r{i}/2\nTTTT\n+\nIIII\n")
+    outs = split_reads(fq, 3, str(tmp_path / "sh"))
+    assert len(outs) == 3
+    whole = []
+    for p in outs:
+        with gzip.open(p, "rt") as f:
+            whole.append(f.read())
+    # all 20 records present, none duplicated, byte-identical content
+    assert sum(w.count("@r") for w in whole) == 20
+    assert "".join(sorted("".join(whole).splitlines(True))) == \
+        "".join(sorted(gzip.open(fq, "rt").read().splitlines(True)))
+    # paired mode: mates never split across shards
+    outs_p = split_reads(fq, 3, str(tmp_path / "shp"), paired=True)
+    for p in outs_p:
+        with gzip.open(p, "rt") as f:
+            names = [line.strip() for line in f if line.startswith("@r")]
+        assert len(names) % 2 == 0
+        for a, b in zip(names[0::2], names[1::2]):
+            assert a[:-2] == b[:-2] and a.endswith("/1") and b.endswith("/2")
 
 
 def test_detect_max_read_len_scans_whole_file(tmp_path):
