@@ -100,32 +100,36 @@ def main():
             codes, qlens, n, jnp.int32(0), scoring=al.scoring,
             seed_params=sp, max_len=L, aln_cov=0.75, n_species=n_sp_total)
 
-    def timed(fn, drain, reps=3):
+    def timed(fn, reps=3):
+        # IMPORTANT: drain with a device_get of the scalar result, not
+        # block_until_ready — on the tunneled chip block_until_ready can
+        # return before execution finishes even for non-donated outputs
+        # (measured: 0.05 ms "timings" for 37 ms programs), so every
+        # honest timing region must end in a device_get
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
             for d in dev:
                 r = fn(d)
-            drain(r)
+            float(jax.device_get(jnp.sum(r)))
             best = min(best, (time.time() - t0) / len(dev))
         return best
 
     idx_a, pack_a = al.index_arrays, al.pack_arrays
-    # warm every stage
+    # warm every stage (device_get forces compile + first run)
     for d in dev:
-        jax.block_until_ready(stage_seed(idx_a, d[0], d[1]))
-        jax.block_until_ready(stage_seed_gather(idx_a, pack_a, d[0], d[1]))
-        jax.block_until_ready(stage_through_dp(idx_a, pack_a, d[0], d[1]))
+        float(jax.device_get(jnp.sum(stage_seed(idx_a, d[0], d[1]))))
+        float(jax.device_get(jnp.sum(
+            stage_seed_gather(idx_a, pack_a, d[0], d[1]))))
+        float(jax.device_get(jnp.sum(
+            stage_through_dp(idx_a, pack_a, d[0], d[1]))))
     st = ds.species_init(n_sp_total, C, 65536)
     st = full_update(st, dev[0])
     int(jax.device_get(st.amb_n))
 
-    t_seed = timed(lambda d: stage_seed(idx_a, d[0], d[1]),
-                   lambda r: jax.block_until_ready(r))
-    t_gather = timed(lambda d: stage_seed_gather(idx_a, pack_a, d[0], d[1]),
-                     lambda r: jax.block_until_ready(r))
-    t_dp = timed(lambda d: stage_through_dp(idx_a, pack_a, d[0], d[1]),
-                 lambda r: jax.block_until_ready(r))
+    t_seed = timed(lambda d: stage_seed(idx_a, d[0], d[1]))
+    t_gather = timed(lambda d: stage_seed_gather(idx_a, pack_a, d[0], d[1]))
+    t_dp = timed(lambda d: stage_through_dp(idx_a, pack_a, d[0], d[1]))
 
     state = ds.species_init(n_sp_total, C, 65536)
     best = float("inf")

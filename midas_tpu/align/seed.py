@@ -64,30 +64,47 @@ def fmix32_jnp(h: jnp.ndarray) -> jnp.ndarray:
     return h
 
 
+def _shift_left_rows(x: jnp.ndarray, shifts: jnp.ndarray,
+                     fill) -> jnp.ndarray:
+    """out[i, j] = x[i, j + shifts[i]] (fill beyond L), by binary
+    decomposition of the per-row shift: log2(L) select-between-static-
+    slices passes. A take_along_axis row gather here costs ~13 ms per
+    [8192, 128] int8 batch on TPU (XLA lowers small-dtype gathers to a
+    scalar loop); the shift ladder is pure VPU layout work (<1 ms)."""
+    B, L = x.shape
+    fill = x.dtype.type(fill)
+    bit = 1
+    while bit <= L:    # shifts reach L itself (empty read: qlen 0)
+        shifted = jnp.concatenate(
+            [x[:, bit:], jnp.full((B, min(bit, L)), fill, x.dtype)],
+            axis=1)[:, :L]
+        take = (shifts & bit) != 0
+        x = jnp.where(take[:, None], shifted, x)
+        bit <<= 1
+    return x
+
+
 def revcomp_batch(codes: jnp.ndarray, qlens: jnp.ndarray) -> jnp.ndarray:
     """Per-read reverse complement, keeping reads left-aligned.
-    codes [B, L] int8 (4 = pad); rc[i, j] = comp(codes[i, qlen_i-1-j])."""
+    codes [B, L] int8 (4 = pad); rc[i, j] = comp(codes[i, qlen_i-1-j]).
+
+    Computed as a STATIC flip plus a per-row left shift by L - qlen
+    (_shift_left_rows): flip[i, j] = codes[i, L-1-j], so
+    flip[i, j + (L-qlen)] = codes[i, qlen-1-j] — gather-free."""
     B, L = codes.shape
-    j = jnp.arange(L, dtype=jnp.int32)[None, :]
-    idx = qlens[:, None] - 1 - j
-    valid = idx >= 0
-    gathered = jnp.take_along_axis(codes, jnp.clip(idx, 0, L - 1).astype(jnp.int32), axis=1)
-    comp = jnp.where(gathered < 4, 3 - gathered, 4).astype(jnp.int8)
-    return jnp.where(valid, comp, jnp.int8(4))
+    flipped = codes[:, ::-1]
+    comp = jnp.where(flipped < 4, 3 - flipped, 4).astype(jnp.int8)
+    return _shift_left_rows(comp, (L - qlens).astype(jnp.int32), 4)
 
 
 def reverse_batch(x: jnp.ndarray, qlens: jnp.ndarray,
                   fill: int = 0) -> jnp.ndarray:
     """Per-read reversal without complement (quality / penalty planes
     riding alongside revcomp_batch'ed codes), keeping rows left-aligned:
-    out[i, j] = x[i, qlen_i-1-j], `fill` beyond the read."""
+    out[i, j] = x[i, qlen_i-1-j], `fill` beyond the read. Same
+    flip + shift-ladder construction as revcomp_batch."""
     B, L = x.shape
-    j = jnp.arange(L, dtype=jnp.int32)[None, :]
-    idx = qlens[:, None] - 1 - j
-    valid = idx >= 0
-    gathered = jnp.take_along_axis(
-        x, jnp.clip(idx, 0, L - 1).astype(jnp.int32), axis=1)
-    return jnp.where(valid, gathered, x.dtype.type(fill))
+    return _shift_left_rows(x[:, ::-1], (L - qlens).astype(jnp.int32), fill)
 
 
 def _query_kmers(codes: jnp.ndarray, qlens: jnp.ndarray, k: int, stride: int,
@@ -95,23 +112,27 @@ def _query_kmers(codes: jnp.ndarray, qlens: jnp.ndarray, k: int, stride: int,
     """K-mers at stride positions. Returns (kmers [B,S] uint32,
     qpos [S] int32, valid [B,S] bool).
 
-    Built by k shifted accumulations over the read axis (pure VPU) and
-    a static stride slice — a [B, S, k] index gather here costs several
-    ms at B=2048 on TPU for no reason."""
+    Built from S STATIC strided slices stacked [B, S, k] and a k-step
+    Horner accumulation over tiny [B, S] planes. (The earlier version
+    accumulated k-mers at EVERY read position then kept 1-in-stride —
+    k full-width shifted passes over [B, L], ~7.5x the arithmetic and
+    memory traffic for identical values; and a [B, S, k] index gather
+    costs several ms on TPU, so the slices must be static.)"""
     B, L = codes.shape
     n_seeds = max(1, (max_len - k) // stride + 1)
+    assert (n_seeds - 1) * stride + k <= L, (n_seeds, stride, k, L)
     qpos = jnp.arange(n_seeds, dtype=jnp.int32) * stride  # [S]
-    cu = codes.astype(jnp.uint32)
-    km_all = jnp.zeros((B, L), jnp.uint32)
-    valid_all = jnp.ones((B, L), jnp.bool_)
+    wins = jnp.stack([codes[:, p: p + k]
+                      for p in range(0, n_seeds * stride, stride)],
+                     axis=1)                               # [B, S, k] int8
+    cu = wins.astype(jnp.uint32)
+    km = jnp.zeros((B, n_seeds), jnp.uint32)
+    valid = jnp.ones((B, n_seeds), jnp.bool_)
     for i in range(k):
-        ci = cu if i == 0 else jnp.concatenate(
-            [cu[:, i:], jnp.full((B, i), 4, jnp.uint32)], axis=1)
-        km_all = (km_all << 2) | (ci & 3)
-        valid_all &= ci < 4
-    km = km_all[:, ::stride][:, :n_seeds]
-    valid = (valid_all[:, ::stride][:, :n_seeds]
-             & (qpos[None, :] + k <= qlens[:, None]))
+        ci = cu[:, :, i]
+        km = (km << 2) | (ci & 3)
+        valid &= ci < 4
+    valid &= qpos[None, :] + k <= qlens[:, None]
     return km, qpos, valid
 
 
@@ -348,10 +369,44 @@ def gather_windows_packed(
 
     w0 = jnp.floor_divide(winstart, BASES_PER_WORD)           # [B, C]
     off = winstart - w0 * BASES_PER_WORD                       # in [0, 16)
-    widx = w0[:, :, None] + jnp.arange(NWIN + 1, dtype=jnp.int32)
-    widx = jnp.clip(widx, 0, pack_words.shape[0] - 1)          # [B, C, NWIN+1]
-    words = pack_words[widx]                                   # u32
-    nwords = pack_nmask[widx]
+    # Fetch the NWIN+1 consecutive words per window as WHOLE 16-word
+    # ROWS of a [*, 16] view plus a word-granular shift ladder: an
+    # element gather of B*C*(NWIN+1) individual words lowers to a
+    # scalar loop on TPU (measured 18 ms at B=8192, C=8 — 31% of the
+    # marker device step); 2-3 row gathers per window run ~4x faster
+    # and the ladder is pure VPU work.
+    WPR = 16
+    NW = pack_words.shape[0]
+    rows_n = -(-NW // WPR)
+    pad = rows_n * WPR - NW
+    w2d = jnp.concatenate(
+        [pack_words, jnp.zeros(pad, jnp.uint32)]).reshape(rows_n, WPR)
+    n2d = jnp.concatenate(
+        [pack_nmask, jnp.zeros(pad, jnp.uint32)]).reshape(rows_n, WPR)
+    R2 = -(-(WPR - 1 + NWIN + 1) // WPR)      # rows covering any offset
+    row0 = w0 // WPR                          # floor; may be -1 at pack
+    col0 = w0 - row0 * WPR                    # start (clip elementwise
+    ridx = jnp.clip(row0[:, :, None] + jnp.arange(R2, dtype=jnp.int32),
+                    0, rows_n - 1)            # below, like the old
+    #                                           widx clip: out-of-pack
+    #                                           words read garbage that
+    #                                           the in_seq mask blanks)
+    wrows = w2d[ridx].reshape(*w0.shape, R2 * WPR)     # [B, C, R2*16]
+    nrows = n2d[ridx].reshape(*w0.shape, R2 * WPR)
+
+    def _align_cols(x):
+        # shift left along the last axis by col0 (binary ladder)
+        bit = 1
+        while bit < WPR:
+            shifted = jnp.concatenate(
+                [x[..., bit:], jnp.zeros((*x.shape[:-1], bit), x.dtype)],
+                axis=-1)
+            x = jnp.where(((col0 & bit) != 0)[:, :, None], shifted, x)
+            bit <<= 1
+        return x
+
+    words = _align_cols(wrows)[..., : NWIN + 1]
+    nwords = _align_cols(nrows)[..., : NWIN + 1]
 
     # word-space realignment: aligned[i] spans bases [winstart + 16i,
     # winstart + 16i + 16); low bits from word i, high bits from i+1

@@ -44,7 +44,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from midas_tpu.align.params import ScoringParams
 from midas_tpu.align.pipeline import (align_candidates_score,
                                       align_chosen_full)
-from midas_tpu.align.seed import SeedParams, revcomp_batch
+from midas_tpu.align.seed import SeedParams, revcomp_batch, reverse_batch
 from midas_tpu.dist.sharded import make_mesh
 from midas_tpu.dist.species import shard_pack_arrays
 from midas_tpu.profile import device_steps as ds
@@ -334,9 +334,7 @@ def dist_snps_update(
         strand = ds._pick(g["strand"], best_col)
         rc_codes = revcomp_batch(codes, qlens)
         j = jnp.arange(L, dtype=jnp.int32)[None, :]
-        ridx = jnp.clip(qlens[:, None] - 1 - j, 0, L - 1)
-        rc_quals = jnp.where(qlens[:, None] - 1 - j >= 0,
-                             jnp.take_along_axis(quals, ridx, axis=1), 0)
+        rc_quals = reverse_batch(quals, qlens, fill=0)
         qsel = jnp.where(strand[:, None] == 1, rc_codes, codes)
         qqsel = jnp.where(strand[:, None] == 1, rc_quals,
                           quals).astype(jnp.int32)

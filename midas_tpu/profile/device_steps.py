@@ -37,7 +37,7 @@ from midas_tpu.align.params import ScoringParams
 from midas_tpu.align.pipeline import (_align_batch_stages,
                                       align_candidates_score,
                                       align_chosen_full)
-from midas_tpu.align.seed import SeedParams, revcomp_batch
+from midas_tpu.align.seed import SeedParams, revcomp_batch, reverse_batch
 
 NEG_INF = -1e30
 
@@ -755,9 +755,7 @@ def snps_update(
     rc_codes = revcomp_batch(codes, qlens)
     # per-read reversed quals in the same left-aligned frame
     j = jnp.arange(L, dtype=jnp.int32)[None, :]
-    ridx = jnp.clip(qlens[:, None] - 1 - j, 0, L - 1)
-    rc_quals = jnp.where(qlens[:, None] - 1 - j >= 0,
-                         jnp.take_along_axis(quals, ridx, axis=1), 0)
+    rc_quals = reverse_batch(quals, qlens, fill=0)
     qsel = jnp.where(strand[:, None] == 1, rc_codes, codes)
     qqsel = jnp.where(strand[:, None] == 1, rc_quals, quals).astype(jnp.int32)
 
