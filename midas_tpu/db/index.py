@@ -33,7 +33,9 @@ from midas_tpu.db.refpack import ReferencePack
 
 EMPTY_KEY = np.uint32(0xFFFFFFFF)
 BUCKET_SLOTS = 8
-ROW = 8              # positions2d row width
+ROW = 8              # positions2d row width (ROW=16 measured: no
+#                      gather speedup — the cost scales with gathered
+#                      elements, not rows — and ~30% more index padding)
 LEVEL2_SALT = np.uint32(0x9E3779B9)
 
 
