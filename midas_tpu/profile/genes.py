@@ -161,7 +161,8 @@ class GenesProfiler:
         from midas_tpu.profile import checkpoint as ckpt
 
         return ckpt.fingerprint(
-            kind="genes", paths=list(map(str, np.atleast_1d(read_paths))),
+            kind="genes", schema=2,  # 2: quality-scaled --mp/--np scoring
+            paths=list(map(str, np.atleast_1d(read_paths))),
             max_reads=max_reads, trim=trim, batch_size=batch_size,
             mapid=self.mapid, readq=self.readq, mapq=self.mapq,
             aln_cov=self.aln_cov, species=self.species_ids,

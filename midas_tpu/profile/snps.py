@@ -112,7 +112,8 @@ class SnpsProfiler:
         fp = None
         if checkpoint_path:
             fp = ckpt.fingerprint(
-                kind="snps", paths=list(map(str, np.atleast_1d(read_paths))),
+                kind="snps", schema=2,  # 2: quality-scaled --mp/--np
+                paths=list(map(str, np.atleast_1d(read_paths))),
                 max_reads=max_reads, trim=trim, batch_size=batch_size,
                 mapid=self.mapid, readq=self.readq, mapq=self.mapq,
                 baseq=self.baseq, aln_cov=self.aln_cov, cap=cap,
