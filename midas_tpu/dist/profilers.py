@@ -492,6 +492,7 @@ class DistributedSnpsProfiler(SnpsProfiler):
                     gap_cap=None, checkpoint_path=None,
                     checkpoint_every: int = 64, paired: bool = False,
                     interleaved: bool = False, read_length=None) -> Dict:
+        import dataclasses as _dc
         import os
 
         from midas_tpu.io.prefetch import prefetch_device_batches
@@ -501,7 +502,10 @@ class DistributedSnpsProfiler(SnpsProfiler):
         S = len(self.species_ids)
         al = self.aligner
         L = al.max_read_len
+        # staging capacity with host drains, as in the single-chip
+        # SnpsProfiler — no hard gapped-read cap
         cap = gap_cap or int(os.environ.get("MIDAS_TPU_GAP_CAP", "131072"))
+        cap = max(cap, 2 * batch_size)
         # replicated spill/counter state; the real counts live sharded
         state = ds.snps_init(0, S, cap, L)
         counts = jnp.zeros((self.tp, 4 * (self.stripe_len + 1)), jnp.int32)
@@ -511,6 +515,27 @@ class DistributedSnpsProfiler(SnpsProfiler):
             batch_size += mult - batch_size % mult
         skip = 0
         fp = None
+        drained = []
+
+        def drain(state):
+            spill, n = ds.sliced_spill_host(
+                dict(gap_codes=state.gap_codes, gap_quals=state.gap_quals,
+                     gap_meta=state.gap_meta), state.gap_n, cap)
+            if n > cap:
+                raise RuntimeError(
+                    f"gapped spill staging overflow ({n} > {cap})")
+            if n:
+                drained.append(spill)
+            return _dc.replace(state, gap_n=jnp.zeros((), jnp.int32))
+
+        def gap_rows():
+            if not drained:
+                return dict(gap_codes=np.full((0, L), 4, np.int8),
+                            gap_quals=np.zeros((0, L), np.int8),
+                            gap_meta=np.zeros((0, 4), np.int32))
+            return {k: np.concatenate([d[k] for d in drained])
+                    for k in ("gap_codes", "gap_quals", "gap_meta")}
+
         if checkpoint_path:
             fp = ckpt.fingerprint(
                 kind="snps", schema=2,  # 2: quality-scaled --mp/--np
@@ -523,15 +548,24 @@ class DistributedSnpsProfiler(SnpsProfiler):
             got = ckpt.load(checkpoint_path, fp)
             if got is not None:
                 arrays, meta = got
-                state = ds.snps_state_restore(
-                    {**arrays, "counts": np.zeros(4, np.int32)}, cap)
+                # counters restore to device; gap rows stay host-side
+                state = _dc.replace(
+                    ds.snps_init(0, S, cap, L),
+                    aligned_reads=jnp.asarray(arrays["aligned_reads"]),
+                    mapped_reads=jnp.asarray(arrays["mapped_reads"]))
+                if arrays["gap_codes"].shape[0]:
+                    drained.append({k: arrays[k] for k in
+                                    ("gap_codes", "gap_quals", "gap_meta")})
                 counts = jnp.asarray(self._shard_counts(arrays["counts"]))
                 skip = int(meta["batches_done"])
 
-        def snapshot() -> Dict:
+        def snapshot(state) -> Dict:
             from midas_tpu.profile.sparse_counts import counts_host_sparse
 
             h = ds.snps_state_host(state)
+            rows = gap_rows()
+            h.update(rows)
+            h["gap_n"] = np.int64(rows["gap_codes"].shape[0])
             # per-rank sparse readback of each tp stripe (each rank row
             # is its own flat [4*(SL+1)] layout with the dump column at
             # local index SL — exactly the single-chip contract)
@@ -541,6 +575,7 @@ class DistributedSnpsProfiler(SnpsProfiler):
             return h
 
         last_index = skip - 1
+        rows_bound = 0
         batches = select_batches(read_paths, batch_size, L, max_reads,
                                  paired, interleaved,
                                  read_length=read_length)
@@ -560,20 +595,18 @@ class DistributedSnpsProfiler(SnpsProfiler):
                 min_mapq=int(self.mapq), baseq=int(self.baseq),
                 aln_cov=float(self.aln_cov), stripe_len=self.stripe_len,
                 paired=bool(paired))
+            rows_bound += db.n_reads
+            if rows_bound > cap - batch_size:
+                state = drain(state)
+                rows_bound = 0
             if checkpoint_path and (db.index + 1) % checkpoint_every == 0:
-                h = snapshot()
-                if int(h["gap_n"]) > cap:
-                    raise RuntimeError(
-                        f"gapped-read buffer overflow ({int(h['gap_n'])} > "
-                        f"{cap}): set MIDAS_TPU_GAP_CAP higher")
-                ckpt.save(checkpoint_path, h,
+                state = drain(state)
+                rows_bound = 0
+                ckpt.save(checkpoint_path, snapshot(state),
                           dict(fingerprint=fp, batches_done=db.index + 1,
                                guard=self._guard()))
-        host = snapshot()
-        if int(host["gap_n"]) > cap:
-            raise RuntimeError(
-                f"gapped-read buffer overflow ({int(host['gap_n'])} > {cap}):"
-                " set MIDAS_TPU_GAP_CAP higher")
+        state = drain(state)
+        host = snapshot(state)
         if checkpoint_path:
             ckpt.save(checkpoint_path, host,
                       dict(fingerprint=fp, batches_done=last_index + 1,

@@ -95,6 +95,8 @@ class SnpsProfiler:
                     gap_cap=None, checkpoint_path=None,
                     checkpoint_every: int = 64, paired: bool = False,
                     interleaved: bool = False, read_length=None) -> Dict:
+        import dataclasses as _dc
+
         import jax.numpy as jnp
 
         from midas_tpu.io.prefetch import prefetch_device_batches
@@ -105,11 +107,39 @@ class SnpsProfiler:
         S = len(self.species_ids)
         al = self.aligner
         L = al.max_read_len
+        # STAGING capacity, not a hard cap: the gapped-read buffer
+        # drains to host whenever the worst-case row count since the
+        # last drain approaches it (same policy as the species
+        # ambiguous spill), so any number of gapped reads completes
+        # without tuning MIDAS_TPU_GAP_CAP
         cap = gap_cap or int(os.environ.get("MIDAS_TPU_GAP_CAP", "131072"))
+        cap = max(cap, 2 * batch_size)   # a drain must always fit a batch
         state = ds.snps_init(G, S, cap, L)
         contig_species = jnp.asarray(self.contig_species)
         skip = 0
         fp = None
+        drained: List[Dict[str, np.ndarray]] = []   # host gap rows
+
+        def drain(state):
+            spill, n = ds.sliced_spill_host(
+                dict(gap_codes=state.gap_codes, gap_quals=state.gap_quals,
+                     gap_meta=state.gap_meta), state.gap_n, cap)
+            if n > cap:
+                raise RuntimeError(
+                    f"gapped spill staging overflow ({n} > {cap}); "
+                    "cap must exceed the per-drain row bound")
+            if n:
+                drained.append(spill)
+            return _dc.replace(state, gap_n=jnp.zeros((), jnp.int32))
+
+        def gap_rows() -> Dict[str, np.ndarray]:
+            if not drained:
+                return dict(gap_codes=np.full((0, L), 4, np.int8),
+                            gap_quals=np.zeros((0, L), np.int8),
+                            gap_meta=np.zeros((0, 4), np.int32))
+            return {k: np.concatenate([d[k] for d in drained])
+                    for k in ("gap_codes", "gap_quals", "gap_meta")}
+
         if checkpoint_path:
             fp = ckpt.fingerprint(
                 kind="snps", schema=2,  # 2: quality-scaled --mp/--np
@@ -122,16 +152,22 @@ class SnpsProfiler:
             got = ckpt.load(checkpoint_path, fp)
             if got is not None:
                 arrays, meta = got
-                state = ds.snps_state_restore(arrays, cap)
+                # counters/counts restore to device; checkpointed gap
+                # rows stay HOST-side (they may exceed the staging
+                # capacity), exactly like the species amb restore
+                st0 = ds.snps_init(G, S, cap, L)
+                state = _dc.replace(
+                    st0,
+                    counts=jnp.asarray(arrays["counts"]),
+                    aligned_reads=jnp.asarray(arrays["aligned_reads"]),
+                    mapped_reads=jnp.asarray(arrays["mapped_reads"]))
+                if arrays["gap_codes"].shape[0]:
+                    drained.append({k: arrays[k] for k in
+                                    ("gap_codes", "gap_quals", "gap_meta")})
                 skip = int(meta["batches_done"])
 
-        def overflow_check(n, batch_idx):
-            if n > cap:
-                raise RuntimeError(
-                    f"gapped-read buffer overflow ({n} > {cap}) at batch "
-                    f"{batch_idx}: set MIDAS_TPU_GAP_CAP higher")
-
         last_index = skip - 1
+        rows_bound = 0   # worst-case spill rows since the last drain
         batches = select_batches(read_paths, batch_size, L, max_reads,
                                  paired, interleaved,
                                  read_length=read_length)
@@ -149,16 +185,27 @@ class SnpsProfiler:
                 max_len=L, mapid=float(self.mapid), readq=float(self.readq),
                 min_mapq=int(self.mapq), baseq=int(self.baseq),
                 aln_cov=float(self.aln_cov), paired=bool(paired))
+            rows_bound += db.n_reads
+            if rows_bound > cap - batch_size:
+                state = drain(state)
+                rows_bound = 0
             if checkpoint_path and (db.index + 1) % checkpoint_every == 0:
+                state = drain(state)
+                rows_bound = 0
                 h = ds.snps_state_host(state)
-                overflow_check(int(h["gap_n"]), db.index)
+                rows = gap_rows()
+                h.update(rows)
+                h["gap_n"] = np.int64(rows["gap_codes"].shape[0])
                 ckpt.save(checkpoint_path, h,
                           dict(fingerprint=fp, batches_done=db.index + 1,
                                guard=self._guard()))
         # end-of-stream snapshot: the counts transfer rides a background
         # thread so _finalize's host oracle work overlaps it
+        state = drain(state)
         host = ds.snps_state_host(state, counts_async=True)
-        overflow_check(int(host["gap_n"]), -1)
+        rows = gap_rows()
+        host.update(rows)
+        host["gap_n"] = np.int64(rows["gap_codes"].shape[0])
         if checkpoint_path:
             host["counts"] = ds.resolve_counts(host["counts"])
             ckpt.save(checkpoint_path, host,

@@ -327,6 +327,33 @@ def test_evalue_gate_drops_subthreshold_short_hits(sim_community):
     assert run(1e9) == 0
 
 
+def test_gap_spill_staging_drain(tmp_path):
+    """The gapped-read spill is a draining STAGING buffer, not a hard
+    cap: a tiny gap_cap forces a drain after every batch and the final
+    pileup must be bit-identical to a default-cap run (previously a
+    long indel-rich stream could overflow MIDAS_TPU_GAP_CAP and die)."""
+    from midas_tpu.db import Database
+    from midas_tpu.profile.snps import SnpsProfiler
+    from midas_tpu.testkit import simulate_reads
+    import midas_tpu.testkit as tk
+
+    comm = tk.simulate_db(str(tmp_path / "db"), n_species=2,
+                          genome_len=9000, gene_len=600, n_extra_genes=1,
+                          related_pairs=0, seed=21)
+    fq = str(tmp_path / "indel_reads.fq.gz")
+    simulate_reads(comm, fq, n_reads=600, read_len=100, error_rate=0.005,
+                   indel_rate=0.05, seed=22)
+    db = Database(comm.db_dir)
+    sel = comm.species_ids()
+    want = SnpsProfiler(db, sel).run([fq], batch_size=128)
+    assert want["n_gapped"] > 10, "fixture produced too few gapped reads"
+    got = SnpsProfiler(db, sel).run([fq], batch_size=128, gap_cap=1)
+    # gap_cap=1 clamps to 2*batch_size=256 staging rows -> a drain
+    # after every batch; results must not change
+    np.testing.assert_array_equal(got["counts"], want["counts"])
+    assert got["n_gapped"] == want["n_gapped"]
+
+
 def test_revcomp_shift_ladder_exact():
     """revcomp_batch / reverse_batch via the flip + binary-shift ladder
     (gather-free; the take_along_axis row gather cost ~13 ms per
